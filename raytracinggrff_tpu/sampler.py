@@ -1,0 +1,94 @@
+"""Sample model fields (Ne, Te, |B|) along traced rays + segment lengths.
+
+Equivalent of sample_model_with_rays (ref: gpu_raytrace.py:632-759) as one
+jitted graph: trilinear gathers for the three fields share corner indices via
+field packing, and the per-ray ds computation (distance between consecutive
+*valid* samples, anchored at the ray start; ref: _compute_ds_from_valid,
+gpu_raytrace.py:473-486) is a lax.scan carrying the last valid position.
+
+Contract (ref: gpu_raytrace.py:644, 569-571):
+    valid_mask = all(isfinite(pos)) & isfinite(s) & (s > 0)
+    ne/te/b fills: out-of-bounds or non-finite field value -> fill_ne/te/b
+    ds[t] = |p[t] - prev_valid| * r_sun_cm at valid t, else 0
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .constants import FILL_B, FILL_NE, FILL_TE, R_SUN_CM
+from .grids import UniformGrid
+from .ops.trilinear import pack_fields, trilinear_packed
+
+
+class LosSamples(NamedTuple):
+    ne: jax.Array          # (n_steps, n_rays)
+    te: jax.Array
+    b: jax.Array
+    ds: jax.Array          # cm
+    valid_mask: jax.Array  # bool
+    s: jax.Array           # cross-section ratio as passed in
+
+
+def pack_model_table(ne_cube, te_cube, b_cube):
+    """Pack the three field cubes into one (N, 3) gather table."""
+    return pack_fields(ne_cube, te_cube, b_cube)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def sample_model_with_rays(
+    model_table,
+    grid: UniformGrid,
+    r_record,                  # (n_steps, n_rays, 3)
+    s_arr,                     # (n_steps, n_rays)
+    ray_start,                 # (n_rays, 3)
+    r_sun_cm: float = R_SUN_CM,
+    fill_ne: float = FILL_NE,
+    fill_te: float = FILL_TE,
+    fill_b: float = FILL_B,
+) -> LosSamples:
+    pos = jnp.asarray(r_record, jnp.float32)
+    s = jnp.asarray(s_arr, jnp.float32)
+    ray_start = jnp.asarray(ray_start, jnp.float32)
+
+    valid = (jnp.all(jnp.isfinite(pos), axis=-1)
+             & jnp.isfinite(s) & (s > 0.0))
+
+    v, _ = trilinear_packed(model_table, grid,
+                            pos[..., 0], pos[..., 1], pos[..., 2])
+    fills = jnp.array([fill_ne, fill_te, fill_b], jnp.float32)
+    v = jnp.where(jnp.isfinite(v), v, fills)
+    ne, te, b = v[..., 0], v[..., 1], v[..., 2]
+
+    scale = jnp.float32(r_sun_cm)
+
+    def ds_body(prev, step):
+        p, ok = step            # p: (n_rays, 3), ok: (n_rays,)
+        p_safe = jnp.where(ok[:, None], p, prev)
+        d = jnp.sqrt(jnp.sum((p_safe - prev) ** 2, axis=-1)) * scale
+        ds = jnp.where(ok, d, 0.0)
+        return p_safe, ds
+
+    _, ds = jax.lax.scan(ds_body, ray_start, (pos, valid))
+
+    return LosSamples(ne=ne, te=te, b=b, ds=ds, valid_mask=valid, s=s)
+
+
+def sample_model_with_rays_arrays(
+    x_grid, y_grid, z_grid, ne_xyz, te_xyz, b_xyz,
+    r_record, s_arr, ray_start, r_sun_cm=R_SUN_CM,
+    fill_ne=FILL_NE, fill_te=FILL_TE, fill_b=FILL_B,
+):
+    """Reference-signature wrapper returning a dict like the reference
+    dispatcher (gpu_raytrace.py:712-759)."""
+    grid = UniformGrid.from_arrays(x_grid, y_grid, z_grid)
+    table = pack_model_table(ne_xyz, te_xyz, b_xyz)
+    out = sample_model_with_rays(table, grid, r_record, s_arr, ray_start,
+                                 float(r_sun_cm), float(fill_ne),
+                                 float(fill_te), float(fill_b))
+    return {"ne": out.ne, "te": out.te, "b": out.b, "ds": out.ds,
+            "valid_mask": out.valid_mask, "s": out.s}
