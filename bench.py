@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: ray-steps/sec/chip on the canonical workload.
+
+Primary metric (BASELINE.md): ray-steps/sec/chip at 256^2 rays x 5000 RK4
+steps through a 128^3 cube at 75 MHz with cross-section tracking on (the
+production configuration of script/resample_with_ray_tracing.py:154-158).
+vs_baseline is measured against the BASELINE.json north-star rate:
+<1 s/frequency on v5e-8 => 256^2*5000/8 ~= 4.1e7 ray-steps/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload construction mirrors the reference bench (bench_raytrace.py:16-41):
+synthetic Gaussian-density cube, jittered near-vertical rays.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# North-star-derived baseline rate (ray-steps/s/chip)
+BASELINE_RATE = 256 * 256 * 5000 / 8.0
+
+
+def make_cube(grid_n, freq_hz):
+    from raytracinggrff_tpu.grids import UniformGrid
+    grid = UniformGrid.cube(3.0, grid_n)
+    xs, ys, zs = grid.axes()
+    x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    # Newkirk-like density -> omega_pe; overdense below r=1 so low-frequency
+    # rays refract/reflect like the production scene.
+    ne = 4.2e4 * 10 ** (4.32 / np.maximum(r, 0.5))
+    omega_pe = 8.93e3 * np.sqrt(ne) * 2 * np.pi
+    return grid, omega_pe.astype(np.float32), ne.astype(np.float32)
+
+
+def make_rays(n_pix, x_fov=1.44, z_obs=3.0, seed=0):
+    from raytracinggrff_tpu.pipeline import image_ray_starts
+    xs, ys, start, kdir = image_ray_starts(n_pix, x_fov, z_obs)
+    return start, kdir
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-pix", type=int, default=256)
+    p.add_argument("--n-steps", type=int, default=5000)
+    p.add_argument("--grid-n", type=int, default=128)
+    p.add_argument("--record-stride", type=int, default=10)
+    p.add_argument("--freq", type=float, default=75e6)
+    p.add_argument("--repeat", type=int, default=3)
+    p.add_argument("--no-crosssections", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
+
+    grid, omega_pe, ne = make_cube(args.grid_n, args.freq)
+    table = pack_trace_table(jnp.asarray(omega_pe), grid)
+    start, kdir = make_rays(args.n_pix)
+    start = jnp.asarray(start)
+    kdir = jnp.asarray(kdir)
+
+    def run():
+        res = trace_rays(table, grid, args.freq, start, kdir, 6e-3,
+                         args.n_steps, args.record_stride,
+                         trace_crosssections=not args.no_crosssections,
+                         perturb_ratio=2.0)
+        jax.block_until_ready(res.r_record)
+        return res
+
+    run()  # compile + warmup
+    best = None
+    for _ in range(args.repeat):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+
+    n_chips = 1  # bench runs single-chip; metric is per chip
+    ray_steps = args.n_pix * args.n_pix * args.n_steps
+    rate = ray_steps / best / n_chips
+
+    print(json.dumps({
+        "metric": "ray-steps/sec/chip",
+        "value": round(rate, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(rate / BASELINE_RATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""raytracinggrff_tpu — TPU-native solar radio imaging framework.
+
+Capabilities of peijin94/raytracingGRFF rebuilt JAX/XLA-first: refractive ray
+tracing through MAS coronal models, LOS sampling, and native GRFF
+gyroresonance/free-free radiative transfer, fused into jitted device graphs
+and sharded over TPU meshes.
+
+Public API mirrors the reference package exports
+(raytracingGRFF/__init__.py:1-15) plus the framework-native entry points.
+"""
+
+from .constants import C_R, R_SUN_CM, R_SUN_M
+from .coords import cart_to_sph, sph_to_cart, image_xyz_to_mas_sph
+from .grids import UniformGrid, variable_z_grid, linear_z_grid
+from .tracer import (TraceResult, trace_rays, trace_rays_from_cube,
+                     pack_trace_table)
+from .sampler import (LosSamples, sample_model_with_rays,
+                      sample_model_with_rays_arrays, pack_model_table)
+from .grff import get_mw, get_mw_slice, grff_transfer, tb_from_sfu
+from .mas import MASModel, MASVariable, synthetic_mas_model
+from .mas.model import load_mas_var, resample_var_to_cube
+from .pipeline import (RayEmissionConfig, run_ray_tracing_emission,
+                       resample_mas_los, synthetic_ff, prepare_cubes)
+from .utils import patch_nan_emission_map
+
+# Reference-compatible aliases (raytracingGRFF/__init__.py exports)
+ray_trace = trace_rays_from_cube
+trace_ray = trace_rays_from_cube
+load_mas_var_filtered = load_mas_var
+resample_to_xyz_cube = resample_var_to_cube
+
+__all__ = [
+    "C_R", "R_SUN_CM", "R_SUN_M",
+    "cart_to_sph", "sph_to_cart", "image_xyz_to_mas_sph",
+    "UniformGrid", "variable_z_grid", "linear_z_grid",
+    "TraceResult", "trace_rays", "trace_rays_from_cube", "pack_trace_table",
+    "LosSamples", "sample_model_with_rays", "sample_model_with_rays_arrays",
+    "pack_model_table",
+    "get_mw", "get_mw_slice", "grff_transfer", "tb_from_sfu",
+    "MASModel", "MASVariable", "synthetic_mas_model", "load_mas_var",
+    "resample_var_to_cube",
+    "RayEmissionConfig", "run_ray_tracing_emission", "resample_mas_los",
+    "synthetic_ff", "prepare_cubes",
+    "patch_nan_emission_map",
+    "ray_trace", "trace_ray", "load_mas_var_filtered", "resample_to_xyz_cube",
+]
+
+__version__ = "0.1.0"

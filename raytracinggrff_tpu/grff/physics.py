@@ -1,0 +1,120 @@
+"""Free-free / magnetoionic plasma emission physics (CGS).
+
+Native reimplementation of the physics inside the external GRFF library
+(`GRFF_DEM_Transfer.so`, Fleishman, Kuznetsov & Landi 2021 algorithm family).
+The reference calls it as an opaque C++ binary via ctypes
+(script/synthetic_FF_map_single_thread.py:27-35); here the coefficients are
+ordinary jax-traceable functions so the whole transfer runs in one XLA graph.
+
+Written to be dtype-polymorphic: works with jax.numpy arrays (float32 on TPU)
+and with plain numpy float64 (the parity reference in grff/reference.py calls
+these same formulas through numpy via the `xp` argument).
+
+Physics summary
+---------------
+Magnetoionic modes sigma = +1 (ordinary, O) and sigma = -1 (extraordinary, X).
+
+Appleton-Hartree (collisionless) refractive index with
+X = (nu_p/nu)^2, Y = nu_B/nu, Y_T = Y sin(theta), Y_L = Y cos(theta):
+
+    n_sigma^2 = 1 - X(1-X) / (1 - X - Y_T^2/2
+                              + sigma*sqrt(Y_T^4/4 + (1-X)^2 Y_L^2))
+
+Free-free absorption per mode (Dulk 1985 eq. 20 generalized to the
+magnetoionic denominator; thermal bremsstrahlung, Rayleigh-Jeans limit):
+
+    kappa_sigma = 9.786e-3 * n_e * Sum(Z^2 n_i) * lnLambda
+                  / ( n_sigma * (nu + sigma*nu_B*|cos theta|)^2 * T^{3/2} )
+
+with the Coulomb logarithm
+    lnLambda = 18.2 + 1.5 ln T - ln nu   (T < 2e5 K)
+    lnLambda = 24.5 + ln T - ln nu       (T >= 2e5 K)
+
+Electron-neutral-hydrogen collisions (mechanism flag bit 2, value 4): the
+neutral fraction follows the hydrogen Saha equation, and the extra opacity is
+expressed through the electron-neutral collision frequency
+nu_en = n_H * sigma_eH * sqrt(8 kT / pi m_e), added in the high-frequency
+collisional-absorption form kappa = (nu_p^2 / nu_eff_denom^2) * nu_en / (c n_sigma).
+This is negligible for coronal temperatures but reproduces the reference's
+"+4" behavior for cool chromospheric voxels.
+"""
+
+from __future__ import annotations
+
+import numpy as _np
+import jax.numpy as jnp
+
+from ..constants import C_CGS, FPE_COEF, FB_COEF, KB_CGS, M_E_G
+
+# kappa_ff prefactor, cm^-1 when nu in Hz, T in K, n in cm^-3 (Dulk 1985)
+KAPPA_FF_COEF = 9.786e-3
+# hydrogen Saha prefactor: n_e n_p / n_H = SAHA_COEF * T^1.5 * exp(-CHI_H/T)
+SAHA_COEF = 2.4147e15
+CHI_H_OVER_K = 1.5789e5       # 13.6 eV / k_B, K
+SIGMA_EH_CM2 = 3.5e-15        # low-energy elastic e-H cross-section, cm^2
+
+O_MODE = 1.0
+X_MODE = -1.0
+
+
+def coulomb_log(te, nu, xp=jnp):
+    """Piecewise Coulomb logarithm (Dulk 1985 Section 2)."""
+    ln_t = xp.log(te)
+    ln_nu = xp.log(nu)
+    low = 18.2 + 1.5 * ln_t - ln_nu
+    high = 24.5 + ln_t - ln_nu
+    lam = xp.where(te < 2e5, low, high)
+    return xp.maximum(lam, 0.0)
+
+
+def refractive_index_sq(X, Y, theta_rad, sigma, xp=jnp):
+    """Appleton-Hartree n^2 for mode sigma (+1 O, -1 X). May be <= 0
+    (evanescent)."""
+    st = xp.sin(theta_rad)
+    ct = xp.cos(theta_rad)
+    yt2 = (Y * st) ** 2
+    yl2 = (Y * ct) ** 2
+    one_m_x = 1.0 - X
+    root = xp.sqrt(yt2 * yt2 / 4.0 + one_m_x * one_m_x * yl2)
+    denom = one_m_x - yt2 / 2.0 + sigma * root
+    # guard exact-zero denominators; evanescence is detected by n2 <= 0
+    safe = xp.where(xp.abs(denom) > 1e-30, denom, 1e-30)
+    return 1.0 - X * one_m_x / safe
+
+
+def saha_neutral_hydrogen(ne, te, xp=jnp):
+    """Neutral-hydrogen density from the Saha equation, n_p ~= n_e."""
+    te = xp.maximum(te, 500.0)
+    rhs = SAHA_COEF * te ** 1.5 * xp.exp(-CHI_H_OVER_K / te)
+    return ne * ne / xp.maximum(rhs, 1e-30)
+
+
+def freefree_kappa(ne, te, b, nu, theta_rad, sigma,
+                   include_neutrals=True, zion_factor=1.0, xp=jnp):
+    """Free-free absorption coefficient [cm^-1] for one magnetoionic mode.
+
+    Returns (kappa, n_sigma_sq). Evanescent voxels (n^2 <= 0) return
+    kappa = inf sentinel is NOT used; the caller must test n_sigma_sq <= 0.
+    """
+    nu_p_sq = (FPE_COEF ** 2) * ne            # nu_p^2, Hz^2
+    nu_b = FB_COEF * b
+    X = nu_p_sq / (nu * nu)
+    Y = nu_b / nu
+    n2 = refractive_index_sq(X, Y, theta_rad, sigma, xp=xp)
+    n_sigma = xp.sqrt(xp.maximum(n2, 1e-12))
+
+    eff_nu = nu + sigma * nu_b * xp.abs(xp.cos(theta_rad))
+    eff_nu_sq = xp.maximum(eff_nu * eff_nu, 1e-30)
+
+    lnlam = coulomb_log(te, nu, xp=xp)
+    t32 = te * xp.sqrt(te)
+    kappa = (KAPPA_FF_COEF * ne * (zion_factor * ne) * lnlam
+             / (n_sigma * eff_nu_sq * t32))
+
+    if include_neutrals:
+        n_h = saha_neutral_hydrogen(ne, te, xp=xp)
+        v_mean = xp.sqrt(8.0 * KB_CGS * te / (_np.pi * M_E_G))
+        nu_en = n_h * SIGMA_EH_CM2 * v_mean
+        kappa = kappa + nu_p_sq / eff_nu_sq * nu_en / (C_CGS * n_sigma)
+
+    return kappa, n2

@@ -1,0 +1,201 @@
+"""Two-mode radiative transfer along lines of sight (native GRFF equivalent).
+
+Replaces the per-pixel ctypes calls into GRFF_DEM_Transfer.so
+(script/resample_with_ray_tracing.py:467-524) and the fastGRFF batched GPU
+path (:400-466) with one jitted lax.scan over voxels, broadcast over
+(pixel, frequency). No FFI, no host loop: trace -> sample -> transfer can fuse
+into a single XLA graph.
+
+Contract mirrored from the reference usage:
+  * voxel arrays are step-major (Nz, n_pix) exactly as produced by the LOS
+    sampler; voxel 0 is the far end of the integration, emergent intensity is
+    taken after the last voxel (GRFF LOS ordering; the straight-LOS pipeline
+    packs the deepest point first, script/resampling_MAS_LOS.py:222-233).
+  * invalid voxels (valid_mask False, non-finite fields, or ds == 0)
+    contribute nothing, matching the reference's compaction of valid voxels
+    (script/resample_with_ray_tracing.py:470-501) — skipping a voxel and
+    compacting are equivalent for the transfer recurrence.
+  * per-voxel source area: s_area_cm2 > 0 overrides pixel_area_cm2
+    (Parms[14] contract, script/resample_with_ray_tracing.py:501).
+  * frequencies: f_i = f0 * 10^(i*dlog) (Rparms contract, :355-366).
+  * outputs: fluxes of the two magnetoionic modes in SFU; reference scripts
+    consume RL[5]+RL[6] = I and (RL[5]-RL[6])/I = V/I (:513-516). Here
+    flux_o plays RL[5] and flux_x plays RL[6].
+
+Radiative transfer per mode sigma: in terms of the refraction invariant
+J = I/n_sigma^2 the source term is n-independent (S_J = k_B T nu^2 / c^2 per
+mode), so each voxel applies
+
+    J <- J * exp(-tau) + (k_B T nu^2 / c^2) * (1 - exp(-tau)),
+
+the emergent vacuum intensity equals J, and evanescent voxels
+(n_sigma^2 <= 0) block the mode entirely (J <- 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import AU_CM, C_CGS, KB_CGS, SFU2CGS
+from .physics import O_MODE, X_MODE, freefree_kappa
+
+MECH_FREEFREE = 1
+MECH_GYRORESONANCE = 2
+MECH_NEUTRALS = 4
+
+
+class GrffResult(NamedTuple):
+    freqs_ghz: jax.Array   # (Nf,)
+    flux_o: jax.Array      # (n_pix, Nf) SFU — RL[5] slot
+    flux_x: jax.Array      # (n_pix, Nf) SFU — RL[6] slot
+    tau_o: jax.Array       # (n_pix, Nf) total optical depth (diagnostic)
+    tau_x: jax.Array
+
+
+def log_spaced_freqs(freq0_hz, nfreq, freq_log_step, xp=np):
+    return freq0_hz * (10.0 ** (freq_log_step * xp.arange(nfreq)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mechanism", "theta_deg"))
+def grff_transfer(
+    ds,                    # (Nz, n_pix) segment lengths, cm
+    te,                    # (Nz, n_pix) K
+    ne,                    # (Nz, n_pix) cm^-3
+    b,                     # (Nz, n_pix) G
+    valid,                 # (Nz, n_pix) bool
+    freqs_hz,              # (Nf,)
+    pixel_area_cm2,
+    s_area_cm2=None,       # (Nz, n_pix) per-voxel source area or None
+    theta_deg: float = 90.0,
+    mechanism: int = MECH_FREEFREE | MECH_NEUTRALS,
+) -> GrffResult:
+    ds = jnp.asarray(ds, jnp.float32)
+    te = jnp.asarray(te, jnp.float32)
+    ne = jnp.asarray(ne, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    valid = jnp.asarray(valid, bool)
+    freqs = jnp.asarray(freqs_hz, jnp.float32)
+
+    n_pix = ds.shape[1]
+    nf = freqs.shape[0]
+    theta = jnp.float32(np.deg2rad(theta_deg))
+    include_neutrals = bool(mechanism & MECH_NEUTRALS)
+    area_default = jnp.float32(pixel_area_cm2)
+
+    if s_area_cm2 is None:
+        s_area_cm2 = jnp.zeros_like(ds)
+    else:
+        s_area_cm2 = jnp.asarray(s_area_cm2, jnp.float32)
+
+    # Source prefactor per unit T: S_flux = (k_B T nu^2 / c^2) * (A/AU^2) / SFU.
+    # Factor ordering keeps every float32 intermediate in range:
+    # KB/(c^2*SFU) ~ 1.5e-18, times nu^2 ~ O(1); the area enters as A/AU^2.
+    src_coef = jnp.float32(KB_CGS / (C_CGS * C_CGS) / SFU2CGS) * (freqs * freqs)
+    inv_au_sq = jnp.float32(1.0 / AU_CM) * jnp.float32(1.0 / AU_CM)
+
+    def voxel_step(carry, xs):
+        f_o, f_x, t_o, t_x = carry
+        ds_k, te_k, ne_k, b_k, valid_k, sarea_k = xs
+
+        mask = (valid_k & jnp.isfinite(ne_k) & jnp.isfinite(te_k)
+                & jnp.isfinite(b_k) & jnp.isfinite(ds_k) & (ds_k > 0))
+        ne_s = jnp.where(mask, ne_k, 1.0)[:, None]      # (n_pix, 1)
+        te_s = jnp.where(mask, te_k, 1e6)[:, None]
+        b_s = jnp.where(mask, b_k, 0.0)[:, None]
+        ds_s = jnp.where(mask, ds_k, 0.0)[:, None]
+        m = mask[:, None]
+
+        area = (jnp.where(sarea_k > 0, sarea_k, area_default)
+                * inv_au_sq)[:, None]
+        nu = freqs[None, :]                              # (1, Nf)
+
+        def mode(sigma, f, t_sum):
+            kappa, n2 = freefree_kappa(
+                ne_s, te_s, b_s, nu, theta, sigma,
+                include_neutrals=include_neutrals, xp=jnp)
+            tau = jnp.where(m, kappa * ds_s, 0.0)
+            tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
+            evan = m & (n2 <= 0.0)
+            att = jnp.exp(-tau)
+            emit = -jnp.expm1(-tau)                      # 1 - e^-tau
+            src = te_s * src_coef[None, :] * area
+            f_new = f * att + jnp.where(m, src * emit, 0.0)
+            f_new = jnp.where(evan, 0.0, f_new)
+            t_new = jnp.where(evan, jnp.inf, t_sum + tau)
+            return f_new, t_new
+
+        f_o, t_o = mode(O_MODE, f_o, t_o)
+        f_x, t_x = mode(X_MODE, f_x, t_x)
+        return (f_o, f_x, t_o, t_x), None
+
+    zeros = jnp.zeros((n_pix, nf), jnp.float32)
+    (f_o, f_x, t_o, t_x), _ = jax.lax.scan(
+        voxel_step, (zeros, zeros, zeros, zeros),
+        (ds, te, ne, b, valid, s_area_cm2))
+
+    return GrffResult(freqs_ghz=freqs / 1e9, flux_o=f_o, flux_x=f_x,
+                      tau_o=t_o, tau_x=t_x)
+
+
+def tb_from_sfu(flux_sfu, freq_hz, pixel_area_cm2):
+    """SFU flux -> Rayleigh-Jeans brightness temperature, K.
+
+    T_b = F * 1e-19 * c^2 / (2 k_B nu^2) / pixel_area * AU^2
+    (ref: script/resample_with_ray_tracing.py:95-97, 513-519).
+    """
+    conv = (SFU2CGS * C_CGS * C_CGS
+            / (2.0 * KB_CGS * freq_hz * freq_hz)
+            / pixel_area_cm2) * (AU_CM * AU_CM)
+    return flux_sfu * conv
+
+
+def get_mw(lparms, rparms, parms):
+    """Single-LOS GET_MW-compatible entry (ref ctypes contract:
+    script/synthetic_FF_map_single_thread.py:27-35, 189-208).
+
+    lparms: [Nz, Nf, ...] int; rparms: [area_cm2, f0_hz, dlogf];
+    parms: (15, Nz) float array with rows
+      0: ds cm, 1: T K, 2: n_e cm^-3, 3: |B| G, 4: theta deg,
+      6: mechanism flags, 7: max harmonic, 14: per-voxel source area cm^2.
+    Returns RL (7, Nf): RL[0]=f GHz, RL[5]=O-mode SFU, RL[6]=X-mode SFU,
+    RL[1]/RL[2] = total optical depths of the two modes.
+    """
+    parms = np.asarray(parms, np.float64)
+    nz = int(lparms[0])
+    nf = int(lparms[1])
+    freqs = log_spaced_freqs(float(rparms[1]), nf, float(rparms[2]))
+    res = grff_transfer(
+        ds=parms[0, :nz, None], te=parms[1, :nz, None],
+        ne=parms[2, :nz, None], b=parms[3, :nz, None],
+        valid=np.ones((nz, 1), bool), freqs_hz=freqs,
+        pixel_area_cm2=float(rparms[0]),
+        s_area_cm2=parms[14, :nz, None],
+        theta_deg=float(parms[4, 0]) if nz else 90.0,
+        mechanism=int(parms[6, 0]) if nz else 5,
+    )
+    rl = np.zeros((7, nf))
+    rl[0] = np.asarray(res.freqs_ghz)
+    rl[1] = np.asarray(res.tau_o[0])
+    rl[2] = np.asarray(res.tau_x[0])
+    rl[5] = np.asarray(res.flux_o[0])
+    rl[6] = np.asarray(res.flux_x[0])
+    return rl
+
+
+def get_mw_slice(ds, te, ne, b, valid, freq0_hz, nfreq, freq_log_step,
+                 pixel_area_cm2, s_area_cm2=None, theta_deg=90.0,
+                 mechanism=MECH_FREEFREE | MECH_NEUTRALS):
+    """Batched all-pixels transfer (fastGRFF get_mw_slice equivalent,
+    ref: script/resample_with_ray_tracing.py:400-466) minus the GPU heap
+    bookkeeping — arrays stay on device."""
+    freqs = log_spaced_freqs(float(freq0_hz), int(nfreq),
+                             float(freq_log_step))
+    return grff_transfer(ds, te, ne, b, valid, freqs, pixel_area_cm2,
+                         s_area_cm2=s_area_cm2, theta_deg=float(theta_deg),
+                         mechanism=int(mechanism))

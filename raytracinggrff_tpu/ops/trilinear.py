@@ -68,10 +68,13 @@ def trilinear_packed(packed, grid: UniformGrid, px, py, pz):
     # NaN positions produce garbage indices after astype; force a safe index.
     base = jnp.where(inb, base, 0)
 
-    _, ny, nz = grid.shape[0], grid.shape[1], grid.shape[2]
     sx = grid.ny * grid.nz
     sy = grid.nz
 
+    # NOTE(tpu): XLA:TPU lowers multi-dim gathers to a slow serial path, so
+    # this function is the portable/CPU reference; the TPU hot path is the
+    # Pallas brick tracer (ops/pallas_trace.py) which keeps cube bricks in
+    # VMEM and interpolates via separable MXU contractions.
     def take(off):
         return jnp.take(packed, base + off, axis=0)
 
