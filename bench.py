@@ -51,25 +51,49 @@ def main():
     p.add_argument("--freq", type=float, default=75e6)
     p.add_argument("--repeat", type=int, default=3)
     p.add_argument("--no-crosssections", action="store_true")
+    p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
+    p.add_argument("--rpt", type=int, default=512,
+                   help="pallas rays per tile")
+    p.add_argument("--seg-records", type=int, default=16)
     args = p.parse_args()
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
 
     grid, omega_pe, ne = make_cube(args.grid_n, args.freq)
-    table = pack_trace_table(jnp.asarray(omega_pe), grid)
+    te = np.full_like(ne, 1.4e6)
+    b = np.ones_like(ne)
     start, kdir = make_rays(args.n_pix)
-    start = jnp.asarray(start)
-    kdir = jnp.asarray(kdir)
 
-    def run():
-        res = trace_rays(table, grid, args.freq, start, kdir, 6e-3,
-                         args.n_steps, args.record_stride,
-                         trace_crosssections=not args.no_crosssections,
-                         perturb_ratio=2.0)
-        jax.block_until_ready(res.r_record)
-        return res
+    if args.tracer == "pallas":
+        from raytracinggrff_tpu.tracer_pallas import trace_rays_pallas
+
+        def run():
+            res = trace_rays_pallas(
+                omega_pe, ne, te, b, grid, args.freq, start, kdir, 6e-3,
+                args.n_steps, args.record_stride,
+                trace_crosssections=not args.no_crosssections,
+                perturb_ratio=2.0, rpt=args.rpt,
+                seg_records=args.seg_records)
+            return res
+    else:
+        from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
+        table = pack_trace_table(jnp.asarray(omega_pe), grid)
+        start_j = jnp.asarray(start)
+        kdir_j = jnp.asarray(kdir)
+
+        def run():
+            res = trace_rays(table, grid, args.freq, start_j, kdir_j, 6e-3,
+                             args.n_steps, args.record_stride,
+                             trace_crosssections=not args.no_crosssections,
+                             perturb_ratio=2.0)
+            # force real completion (block_until_ready is unreliable on the
+            # axon platform)
+            float(res.r_record[-1, 0, 0])
+            return res
 
     run()  # compile + warmup
     best = None

@@ -1,0 +1,415 @@
+"""Fused Pallas TPU ray-trace kernel: VMEM cube bricks + MXU interpolation.
+
+Why this exists: XLA:TPU lowers random gathers to a serial path measured at
+~0.1-0.5 GB/s on v5e, making the gather-based tracer (tracer.py) ~200x slower
+than the compute roofline. This kernel eliminates gathers entirely:
+
+  * Rays are spatially binned into tiles of `rpt` rays (Morton-sorted in
+    (y,z) by the driver between segments). Each tile's kernel instance keeps
+    a brick of the omega_pe(+gradients) cube in VMEM covering 8 nodes in y,
+    8 nodes in z, and the FULL x axis, re-DMA-ing it from HBM when the
+    tile's (y,z) bounding box nears the brick edge. The x axis rides the
+    lane dimension un-sliced (Mosaic requires lane-dim DMA slices to be
+    128-aligned), so x motion never needs reloads or escapes.
+  * Trilinear interpolation is evaluated gather-free as three separable
+    contractions with per-ray "tent" weight vectors w_j = max(0, 1-|l-j|):
+    the x-contraction is an MXU matmul (By*Bz*C, nx) @ (nx, rays); y/z are
+    small VPU reductions. The tent-weighted sum over in-range nodes is
+    exactly the clamped trilinear interpolation of the reference CUDA
+    kernel (gpu_raytrace.py:102-158).
+  * Ne/Te/|B| are sampled at record time from a second brick, so the
+    separate LOS sampling pass (and its gathers) disappears.
+
+Cube layout: (ny, nz*4, nx) float32 — z fused with channels so brick DMAs
+slice only leading dims; x innermost so the matmul contracts the lane axis
+and every reshape merges/splits leading dims only (Mosaic cannot relayout a
+sublane dim into lanes). Ray state is kept as separate per-component (R,)
+vectors for the same reason.
+
+Semantics match tracer.trace_rays with s_mode='cumulative' (the production
+GPU-reference semantics, gpu_raytrace.py:398-408) for finite cubes (the
+pipeline nan_to_nums them): frozen out-of-cube rays, cumulative
+cross-section record, cross-section perturbed rays re-launched each step
+from the central ray's previous state (build_rays.py:204-239).
+
+Escape handling: rays whose (y,z) leave their tile's brick while still
+inside the cube are frozen and flagged in the state's `esc` row; the driver
+re-runs exactly those rays for the affected segment on the XLA reference
+path and merges the results (driver: tracer_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import C_R, FILL_B, FILL_NE, FILL_TE
+from ..grids import UniformGrid
+
+B = 8          # brick nodes along y and z
+NCH = 4        # channels per cube (trace: wpe,gx,gy,gz; sample: ne,te,b,pad)
+BZC = B * NCH  # fused z*channel extent of a brick
+
+
+def _tent_weights(l, n_rows, rows):
+    """Per-ray tent weights (rows, R): w[j, r] = max(0, 1 - |l[r] - j|).
+
+    l is a (1, R) row vector (Mosaic-friendly 2D layout)."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, (rows, n_rows), 0).astype(
+        jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(l - jj))
+
+
+def _brick_sample(win_ref, lx, ly, lz, n_rows):
+    """Trilinear sample of a (By, Bz*C, Bx=8) x-window at local coords
+    (1, R) each. Returns NCH (1, R) channel rows; out-of-window rows
+    give 0."""
+    wx = _tent_weights(lx, n_rows, B)            # (B, R)
+    wy = _tent_weights(ly, n_rows, B)
+    wz = _tent_weights(lz, n_rows, B)
+
+    a = win_ref[:].reshape(B * BZC, B)           # (By*Bz*C, Bx)
+    t1 = jax.lax.dot_general(                    # (By*Bz*C, R)
+        a, wx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    t1 = t1.reshape(B, BZC, n_rows)              # (By, Bz*C, R)
+    t2 = jnp.sum(t1 * wy[:, None, :], axis=0)    # (Bz*C, R)
+    t2 = t2.reshape(B, NCH, n_rows)              # fused axis is z-major
+    t3 = jnp.sum(t2 * wz[:, None, :], axis=0)    # (C, R)
+    return t3[0:1], t3[1:2], t3[2:3], t3[3:4]
+
+
+def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
+                 dt, perturb_ratio, trace_crosssections, nx_pad):
+    nx, ny, nz = grid.shape
+    inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
+    x0, y0, z0 = (np.float32(v) for v in grid.origin)
+    fnx, fny, fnz = np.float32(nx - 1), np.float32(ny - 1), np.float32(nz - 1)
+    dt = np.float32(dt)
+    c_r = np.float32(C_R)
+    pr = np.float32(perturb_ratio)
+
+    def to_frac(px, py, pz):
+        return ((px - x0) * inv_dx, (py - y0) * inv_dy, (pz - z0) * inv_dz)
+
+    def kernel(tcube, scube, state_in, state_out, rec_out,
+               tbrick, sbrick, twin, swin, orig_ref, sem):
+        state = state_in[0]                       # (8, rpt)
+
+        orig_ref[0] = jnp.int32(-10000)           # ox; force initial load
+        orig_ref[1] = jnp.int32(-10000)           # oy
+        orig_ref[2] = jnp.int32(-10000)           # oz
+
+        def origins_f():
+            return (orig_ref[0].astype(jnp.float32),
+                    orig_ref[1].astype(jnp.float32),
+                    orig_ref[2].astype(jnp.float32))
+
+        def inbounds(fx, fy, fz):
+            return ((fx >= 0) & (fx <= fnx) & (fy >= 0) & (fy <= fny)
+                    & (fz >= 0) & (fz <= fnz))
+
+        def maybe_reload(px, py, pz, esc):
+            """Re-center the brick on the active rays' bbox when needed.
+
+            y/z re-center triggers a DMA from HBM (full x extent); the
+            8-node x-window is then re-extracted from the staged brick with
+            a dynamic lane rotate — no lane-aligned DMA slicing needed."""
+            fx, fy, fz = to_frac(px, py, pz)
+            active = inbounds(fx, fy, fz) & (esc < 0.5)
+            any_active = jnp.any(active)
+            big = jnp.float32(1e9)
+
+            def mms(f):
+                return (jnp.min(jnp.where(active, f, big)),
+                        jnp.max(jnp.where(active, f, -big)))
+
+            xmin, xmax = mms(fx)
+            ymin, ymax = mms(fy)
+            zmin, zmax = mms(fz)
+            ox, oy, oz = origins_f()
+            lo = jnp.minimum(jnp.minimum(xmin - ox, ymin - oy), zmin - oz)
+            hi = jnp.maximum(jnp.maximum(xmax - ox, ymax - oy), zmax - oz)
+            need = any_active & ((lo < 1.0) | (hi > B - 2.0))
+
+            @pl.when(need)
+            def _():
+                def center(mn, mx, n):
+                    c = 0.5 * (jnp.maximum(mn, 0.0)
+                               + jnp.minimum(mx, np.float32(n - 1)))
+                    return jnp.clip((c - B / 2 + 0.5).astype(jnp.int32),
+                                    0, n - B)
+
+                nox = center(xmin, xmax, nx)
+                noy = center(ymin, ymax, ny)
+                noz = center(zmin, zmax, nz)
+                orig_ref[0] = nox
+                orig_ref[1] = noy
+                orig_ref[2] = noz
+                cp1 = pltpu.make_async_copy(
+                    tcube.at[pl.ds(noy, B), pl.ds(noz * NCH, BZC), :],
+                    tbrick, sem)
+                cp1.start()
+                cp1.wait()
+                cp2 = pltpu.make_async_copy(
+                    scube.at[pl.ds(noy, B), pl.ds(noz * NCH, BZC), :],
+                    sbrick, sem)
+                cp2.start()
+                cp2.wait()
+                twin[:] = pltpu.roll(tbrick[:], -nox, axis=2)[:, :, :B]
+                swin[:] = pltpu.roll(sbrick[:], -nox, axis=2)[:, :, :B]
+
+        def local_xyz(fx, fy, fz):
+            ox, oy, oz = origins_f()
+            return fx - ox, fy - oy, fz - oz
+
+        def rhs(px, py, pz, kx, ky, kz, esc_flags):
+            """Batched ODE RHS. All args (R,). Returns (dr3, dk3, esc')."""
+            n_rows = px.shape[1]
+            fx, fy, fz = to_frac(px, py, pz)
+            lx, ly, lz = local_xyz(fx, fy, fz)
+            inb = inbounds(fx, fy, fz)
+            in_brick = ((lx >= 0) & (lx <= B - 1) & (ly >= 0)
+                        & (ly <= B - 1) & (lz >= 0) & (lz <= B - 1))
+            esc_new = esc_flags | (inb & ~in_brick)
+
+            wpe, gx, gy, gz = _brick_sample(twin, lx, ly, lz, n_rows)
+            om = jnp.sqrt(jnp.maximum(
+                wpe * wpe + kx * kx + ky * ky + kz * kz, 0.0))
+            ok = inb & in_brick & (om > 0)
+            okf = ok.astype(jnp.float32)
+            inv_om = okf / jnp.where(om > 0, om, 1.0)
+            cr_iom = c_r * inv_om
+            a = -wpe * inv_om * c_r
+            return ((cr_iom * kx, cr_iom * ky, cr_iom * kz),
+                    (a * gx * okf, a * gy * okf, a * gz * okf), esc_new)
+
+        def rk4(px, py, pz, kx, ky, kz, esc_flags):
+            p = (px, py, pz)
+            k = (kx, ky, kz)
+
+            def at(pc, kc, h):
+                return tuple(p[i] + h * pc[i] for i in range(3)), \
+                       tuple(k[i] + h * kc[i] for i in range(3))
+
+            d1r, d1k, e = rhs(*p, *k, esc_flags)
+            p2_, k2_ = at(d1r, d1k, 0.5 * dt)
+            d2r, d2k, e = rhs(*p2_, *k2_, e)
+            p3_, k3_ = at(d2r, d2k, 0.5 * dt)
+            d3r, d3k, e = rhs(*p3_, *k3_, e)
+            p4_, k4_ = at(d3r, d3k, dt)
+            d4r, d4k, e = rhs(*p4_, *k4_, e)
+            c = dt / 6.0
+            pn = tuple(p[i] + c * (d1r[i] + 2 * d2r[i] + 2 * d3r[i]
+                                   + d4r[i]) for i in range(3))
+            kn = tuple(k[i] + c * (d1k[i] + 2 * d2k[i] + 2 * d3k[i]
+                                   + d4k[i]) for i in range(3))
+            return pn, kn, e
+
+        def cross(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+
+        def step(carry, check_reload=True):
+            px, py, pz, kx, ky, kz, cums, esc = carry
+            if check_reload:
+                maybe_reload(px, py, pz, esc)
+            frozen = esc > 0.5
+            zeros = jnp.zeros((1, rpt), bool)
+            pn, kn, e_c = rk4(px, py, pz, kx, ky, kz, zeros)
+
+            if trace_crosssections:
+                rd = (pn[0] - px, pn[1] - py, pn[2] - pz)
+                dnorm = jnp.sqrt(rd[0] * rd[0] + rd[1] * rd[1]
+                                 + rd[2] * rd[2]) + 1e-32
+                t_hat = (rd[0] / dnorm, rd[1] / dnorm, rd[2] / dnorm)
+                # transverse basis (gpu_raytrace.py:284-295)
+                use_z = jnp.abs(t_hat[2]) < 0.9
+                ay = jnp.where(use_z, 0.0, 1.0)
+                az = jnp.where(use_z, 1.0, 0.0)
+                e1 = (ay * t_hat[2] - az * t_hat[1],
+                      az * t_hat[0], -ay * t_hat[0])
+                n1 = jnp.sqrt(e1[0] * e1[0] + e1[1] * e1[1]
+                              + e1[2] * e1[2]) + 1e-30
+                e1 = (e1[0] / n1, e1[1] / n1, e1[2] / n1)
+                e2 = cross(t_hat, e1)
+                n2 = jnp.sqrt(e2[0] * e2[0] + e2[1] * e2[1]
+                              + e2[2] * e2[2]) + 1e-30
+                e2 = (e2[0] / n2, e2[1] / n2, e2[2] / n2)
+                eps = pr * dnorm
+
+                # both perturbed rays batched in one 2*rpt-lane rk4
+                pp = tuple(jnp.concatenate(
+                    [c0 + eps * u1, c0 + eps * u2], axis=1)
+                    for c0, u1, u2 in ((px, e1[0], e2[0]),
+                                       (py, e1[1], e2[1]),
+                                       (pz, e1[2], e2[2])))
+                kk = tuple(jnp.concatenate([c0, c0], axis=1)
+                           for c0 in (kx, ky, kz))
+                pp_n, _, e_p = rk4(*pp, *kk, jnp.zeros((1, 2 * rpt), bool))
+
+                d1 = tuple(pp_n[i][:, :rpt] - pn[i] for i in range(3))
+                d2 = tuple(pp_n[i][:, rpt:] - pn[i] for i in range(3))
+                cr = cross(d1, d2)
+                num = jnp.abs(cr[0] * t_hat[0] + cr[1] * t_hat[1]
+                              + cr[2] * t_hat[2])
+                s_ratio = num / (eps * eps + 1e-30)
+                e_all = e_c | e_p[:, :rpt] | e_p[:, rpt:]
+                cums = jnp.where(frozen, cums, cums * s_ratio)
+            else:
+                e_all = e_c
+
+            px = jnp.where(frozen, px, pn[0])
+            py = jnp.where(frozen, py, pn[1])
+            pz = jnp.where(frozen, pz, pn[2])
+            kx = jnp.where(frozen, kx, kn[0])
+            ky = jnp.where(frozen, ky, kn[1])
+            kz = jnp.where(frozen, kz, kn[2])
+            esc = jnp.maximum(esc, e_all.astype(jnp.float32))
+            return px, py, pz, kx, ky, kz, cums, esc
+
+        def record(b_idx, carry):
+            px, py, pz, kx, ky, kz, cums, esc = carry
+            fx, fy, fz = to_frac(px, py, pz)
+            lx, ly, lz = local_xyz(fx, fy, fz)
+            ne_v, te_v, b_v, _ = _brick_sample(swin, lx, ly, lz, rpt)
+            inb = inbounds(fx, fy, fz)
+            in_brick = ((lx >= 0) & (lx <= B - 1) & (ly >= 0)
+                        & (ly <= B - 1) & (lz >= 0) & (lz <= B - 1))
+            good = inb & in_brick
+            ne_v = jnp.where(good, ne_v, np.float32(FILL_NE))
+            te_v = jnp.where(good, te_v, np.float32(FILL_TE))
+            b_v = jnp.where(good, b_v, np.float32(FILL_B))
+            esc = jnp.maximum(esc, (inb & ~in_brick).astype(jnp.float32))
+            rec = jnp.concatenate([px, py, pz, cums, ne_v, te_v, b_v,
+                                   jnp.zeros_like(px)], axis=0)
+            rec_out[0, pl.ds(b_idx, 1)] = rec[None]
+            return px, py, pz, kx, ky, kz, cums, esc
+
+        def run_block(carry, n_steps, b_idx):
+            # brick-bounds check every 4th step: the 1-cell reload buffer
+            # covers many steps of worst-case motion (dt*C_R/dx ~ 0.06
+            # cells/step) plus the perturbation offsets
+            n4, rem = divmod(n_steps, 4)
+
+            def quad(_, c):
+                c = step(c, check_reload=True)
+                c = step(c, check_reload=False)
+                c = step(c, check_reload=False)
+                c = step(c, check_reload=False)
+                return c
+
+            if n4:
+                carry = jax.lax.fori_loop(0, n4, quad, carry)
+            for j in range(rem):
+                carry = step(carry, check_reload=(j == 0))
+            return record(b_idx, carry)
+
+        carry = (state[0:1], state[1:2], state[2:3], state[3:4],
+                 state[4:5], state[5:6], state[6:7], state[7:8])
+        if first_block == stride:
+            carry = jax.lax.fori_loop(
+                0, rps, lambda b, c: run_block(c, stride, b), carry)
+        else:
+            carry = run_block(carry, first_block, 0)
+            if rps > 1:
+                carry = jax.lax.fori_loop(
+                    1, rps, lambda b, c: run_block(c, stride, b), carry)
+        state_out[0] = jnp.concatenate(carry, axis=0)
+
+    return kernel
+
+
+class PallasSegmentResult(NamedTuple):
+    state: jax.Array      # (n_tiles, 8, rpt)
+    records: jax.Array    # (n_tiles, rps, 8, rpt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "rpt", "rps", "stride", "first_block", "dt",
+                     "perturb_ratio", "trace_crosssections", "interpret"))
+def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
+                      stride, first_block, dt, perturb_ratio,
+                      trace_crosssections=True, interpret=False):
+    """Run one trace segment: `rps` record-blocks over all ray tiles.
+
+    tcube/scube: (ny, nz*4, nx) fused-layout cubes (see pack_cube_zc).
+    state: (n_tiles, 8, rpt) rows [rx,ry,rz,kx,ky,kz,cumS,escaped].
+    Records rows: [x, y, z, S, ne, te, b, pad].
+    """
+    n_tiles = state.shape[0]
+    nx_pad = tcube.shape[2]
+    kernel = _make_kernel(grid, rpt, rps, stride, first_block, float(dt),
+                          float(perturb_ratio), trace_crosssections, nx_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, rpt), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, rpt), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rps, 8, rpt), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 8, rpt), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, rps, 8, rpt), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, BZC, nx_pad), jnp.float32),  # full-x staging
+            pltpu.VMEM((B, BZC, nx_pad), jnp.float32),
+            pltpu.VMEM((B, BZC, B), jnp.float32),       # 8-node x-windows
+            pltpu.VMEM((B, BZC, B), jnp.float32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(tcube, scube, state)
+    return PallasSegmentResult(state=out[0], records=out[1])
+
+
+def pack_cube_zc(*channels):
+    """Pack up to 4 cubes (nx,ny,nz) into the (ny, nz*4, nx_pad) kernel
+    layout: x innermost (so brick contractions avoid lane-dim reshapes) and
+    zero-padded to a multiple of 128 (Mosaic requires lane-dim DMA slices to
+    be 128-aligned; padded nodes get zero tent weight for any in-cube ray)."""
+    cubes = [jnp.asarray(c, jnp.float32) for c in channels]
+    while len(cubes) < NCH:
+        cubes.append(jnp.zeros_like(cubes[0]))
+    stacked = jnp.stack(cubes, axis=-1)          # (nx, ny, nz, 4)
+    nx, ny, nz, _ = stacked.shape
+    out = jnp.transpose(stacked, (1, 2, 3, 0)).reshape(ny, nz * NCH, nx)
+    nx_pad = -(-nx // 128) * 128
+    if nx_pad != nx:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, nx_pad - nx)))
+    return out
+
+
+def morton_keys(pos, grid: UniformGrid, cell_cells=2.0):
+    """3D Morton (z-order) bin keys (int32) from positions (n, 3)."""
+    f = ((pos - jnp.array(grid.origin, jnp.float32))
+         * jnp.array(grid.inv_steps, jnp.float32))
+    c = jnp.clip((f / cell_cells).astype(jnp.int32), 0, 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (spread(c[:, 0]) | (spread(c[:, 1]) << 1)
+            | (spread(c[:, 2]) << 2))

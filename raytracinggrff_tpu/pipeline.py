@@ -128,6 +128,9 @@ class RayEmissionConfig:
     mechanism: int = 1 + 4         # free-free + neutral-H (Parms[6] contract)
     theta_deg: float = 90.0        # Parms[4] contract
     s_mode: str = "cumulative"     # GPU-reference S semantics
+    tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
+    rays_per_tile: int = 512       # pallas tracer tile size
+    seg_records: int = 16          # pallas records per kernel segment
 
 
 def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
@@ -154,28 +157,48 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
         model = MASModel(model_path)
         cubes = prepare_cubes(model, grid, cfg.phi0_offset, verbose=verbose)
 
-    trace_table = pack_trace_table(cubes["omega_pe"], grid)
-    model_table = pack_model_table(cubes["ne"], cubes["te"], cubes["b"])
-
     xs, ys, start, kdir = image_ray_starts(cfg.n_pix, cfg.x_fov,
                                            cfg.z_observer)
     n_rays = start.shape[0]
 
-    if mesh is not None:
-        from .parallel.mesh import shard_rays
-        start = shard_rays(start, mesh)
-        kdir = shard_rays(kdir, mesh)
+    backend = cfg.tracer_backend
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() not in ("cpu",)
+                   and cfg.s_mode == "cumulative" else "xla")
 
     log(f"Ray tracing {n_rays} rays "
-        f"({cfg.n_steps} steps, stride {cfg.record_stride})...")
-    trace = trace_rays(trace_table, grid, cfg.freq_hz, start, kdir,
-                       cfg.dt, cfg.n_steps, cfg.record_stride,
-                       trace_crosssections=True,
-                       perturb_ratio=cfg.perturb_ratio, s_mode=cfg.s_mode)
-
-    log("Sampling Ne/Te/B along rays...")
-    sampled = sample_model_with_rays(model_table, grid, trace.r_record,
-                                     trace.s_record, start)
+        f"({cfg.n_steps} steps, stride {cfg.record_stride}, "
+        f"{backend} tracer)...")
+    if backend == "pallas":
+        from .sampler import los_from_records
+        from .tracer_pallas import trace_rays_pallas
+        ptr = trace_rays_pallas(
+            cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"], grid,
+            cfg.freq_hz, start, kdir, cfg.dt, cfg.n_steps,
+            cfg.record_stride, trace_crosssections=True,
+            perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
+            seg_records=cfg.seg_records, verbose=verbose)
+        if verbose and ptr.escape_fraction > 0:
+            log(f"  brick escape fraction: {ptr.escape_fraction:.4f} "
+                f"(re-run on reference path)")
+        sampled = los_from_records(ptr.r_record, ptr.s_record,
+                                   ptr.ne, ptr.te, ptr.b, start)
+    else:
+        trace_table = pack_trace_table(cubes["omega_pe"], grid)
+        model_table = pack_model_table(cubes["ne"], cubes["te"],
+                                       cubes["b"])
+        if mesh is not None:
+            from .parallel.mesh import shard_rays
+            start = shard_rays(start, mesh)
+            kdir = shard_rays(kdir, mesh)
+        trace = trace_rays(trace_table, grid, cfg.freq_hz, start, kdir,
+                           cfg.dt, cfg.n_steps, cfg.record_stride,
+                           trace_crosssections=True,
+                           perturb_ratio=cfg.perturb_ratio,
+                           s_mode=cfg.s_mode)
+        log("Sampling Ne/Te/B along rays...")
+        sampled = sample_model_with_rays(model_table, grid, trace.r_record,
+                                         trace.s_record, start)
 
     freq0 = cfg.freq0 if cfg.freq0 is not None else cfg.freq_hz
     frequencies_hz = log_spaced_freqs(freq0, cfg.nfreq, cfg.freq_log_step)
@@ -215,7 +238,6 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
         log(f"Saved {out_path}")
 
     result["_sampled"] = sampled
-    result["_trace"] = trace
     if save_plots and out_path:
         from .utils.plotting import save_emission_plot, save_center_pixel_plot
         save_emission_plot(result, cfg.n_pix, cfg.x_fov, out_path)

@@ -78,6 +78,34 @@ def sample_model_with_rays(
     return LosSamples(ne=ne, te=te, b=b, ds=ds, valid_mask=valid, s=s)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def los_from_records(r_record, s_arr, ne, te, b, ray_start,
+                     r_sun_cm=R_SUN_CM):
+    """Assemble LosSamples from tracer-produced field records.
+
+    The Pallas trace kernel samples Ne/Te/|B| at record time in-kernel
+    (ops/pallas_trace.py), so only the valid mask and ds remain to compute —
+    same contracts as sample_model_with_rays."""
+    pos = jnp.asarray(r_record, jnp.float32)
+    s = jnp.asarray(s_arr, jnp.float32)
+    ray_start = jnp.asarray(ray_start, jnp.float32)
+    valid = (jnp.all(jnp.isfinite(pos), axis=-1)
+             & jnp.isfinite(s) & (s > 0.0))
+    scale = jnp.float32(r_sun_cm)
+
+    def ds_body(prev, step):
+        p, ok = step
+        p_safe = jnp.where(ok[:, None], p, prev)
+        d = jnp.sqrt(jnp.sum((p_safe - prev) ** 2, axis=-1)) * scale
+        return p_safe, jnp.where(ok, d, 0.0)
+
+    _, ds = jax.lax.scan(ds_body, ray_start, (pos, valid))
+    return LosSamples(ne=jnp.asarray(ne, jnp.float32),
+                      te=jnp.asarray(te, jnp.float32),
+                      b=jnp.asarray(b, jnp.float32),
+                      ds=ds, valid_mask=valid, s=s)
+
+
 def sample_model_with_rays_arrays(
     x_grid, y_grid, z_grid, ne_xyz, te_xyz, b_xyz,
     r_record, s_arr, ray_start, r_sun_cm=R_SUN_CM,

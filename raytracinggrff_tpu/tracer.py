@@ -183,7 +183,7 @@ def init_k_vectors(table, grid: UniformGrid, freq_hz, start, kdir):
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "n_steps", "record_stride", "trace_crosssections",
-                     "s_mode"),
+                     "s_mode", "first_block"),
 )
 def trace_rays(
     table,
@@ -197,18 +197,29 @@ def trace_rays(
     trace_crosssections: bool = False,
     perturb_ratio: float = 2.0,
     s_mode: str = "cumulative",
+    first_block: int = 1,
+    k_init=None,
 ) -> TraceResult:
     """Trace all rays for n_steps; record every record_stride steps.
 
     `table` is pack_trace_table(omega_pe_cube, grid). Equivalent of the
     reference trace_ray dispatcher (gpu_raytrace.py:414-470) with the full
     loop fused on-device.
+
+    `first_block`/`k_init` support segment continuation (the Pallas escape
+    fallback): the first record happens after `first_block` steps (reference
+    schedule: 1), and `k_init` (n_rays, 3) bypasses the kc0 initialization.
+    Callers using first_block != 1 must pass
+    n_steps = first_block + (n_records-1)*record_stride.
     """
     if s_mode not in ("cumulative", "per_step"):
         raise ValueError(f"unknown s_mode {s_mode!r}")
     n_records = -(-n_steps // record_stride)  # records at i % stride == 0
 
-    k0 = init_k_vectors(table, grid, freq_hz, start, kdir)
+    if k_init is None:
+        k0 = init_k_vectors(table, grid, freq_hz, start, kdir)
+    else:
+        k0 = jnp.asarray(k_init, jnp.float32)
     r = jnp.asarray(start, jnp.float32).T  # (3, n_rays)
     k = k0.T
 
@@ -232,8 +243,9 @@ def trace_rays(
         out = jax.lax.fori_loop(0, n, body, (r, k, ones, ones))
         return out
 
-    # Record 0 happens after a single step (loop index i=0).
-    r, k, seg_acc, seg_last = do_steps((r, k, None, None), 1)
+    # Record 0 happens after first_block steps (reference: a single step,
+    # loop index i=0 at build_rays.py:204,241).
+    r, k, seg_acc, seg_last = do_steps((r, k, None, None), first_block)
     cum_s = seg_acc  # record-0 cumulative S (previous_cs = 1.0)
     rec0_s = cum_s if s_mode == "cumulative" else seg_last
     rec0_r = r.T
