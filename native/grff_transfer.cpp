@@ -1,0 +1,141 @@
+// Native GRFF transfer library: drop-in replacement for the external
+// GRFF_DEM_Transfer.so binary the reference loads via ctypes
+// (ref contract: script/synthetic_FF_map_single_thread.py:27-35 — argtypes
+// [int32*, f64*, f64*, f64*, f64*, f64*, f64*] -> int, PyGET_MW symbol).
+//
+// Physics identical to raytracinggrff_tpu/grff/physics.py (the float64
+// parity reference): Appleton-Hartree magnetoionic modes, Dulk (1985)
+// free-free opacity with piecewise Coulomb logarithm, Saha neutral-hydrogen
+// collisional term (mechanism flag 4), per-voxel source areas (Parms[14]),
+// evanescent-mode blocking, log-spaced frequency grid.
+//
+// Input layout (column-major Parms(15, Nz) exactly as the reference packs
+// it, script/resample_with_ray_tracing.py:489-501):
+//   Lparms[0]=Nz, Lparms[1]=Nf
+//   Rparms[0]=pixel area cm^2, Rparms[1]=f0 Hz, Rparms[2]=dlog10 f
+//   Parms[0]=ds cm, [1]=T K, [2]=n_e cm^-3, [3]=|B| G, [4]=theta deg,
+//   [6]=mechanism flags (1 free-free, 2 gyroresonance, 4 neutrals),
+//   [14]=per-voxel source area cm^2 (0 -> Rparms[0])
+// Output RL(7, Nf) column-major: RL[0]=f GHz, RL[1]/RL[2]=tau_O/tau_X,
+// RL[5]=O-mode flux SFU, RL[6]=X-mode flux SFU.
+//
+// Build: g++ -O3 -shared -fPIC -o GRFF_DEM_Transfer.so grff_transfer.cpp
+
+#include <cmath>
+#include <cstdint>
+
+namespace {
+
+constexpr double kCcgs = 2.998e10;
+constexpr double kKb = 1.38065e-16;
+constexpr double kMe = 9.1094e-28;
+constexpr double kAUcm = 1.49599e13;
+constexpr double kSfu = 1e-19;
+constexpr double kFpeCoef = 8.93e3;     // f_pe = coef * sqrt(n_e)
+constexpr double kFbCoef = 2.7992e6;    // f_B = coef * B
+constexpr double kKappaFF = 9.786e-3;   // Dulk 1985 prefactor
+constexpr double kSahaCoef = 2.4147e15;
+constexpr double kChiHoverK = 1.5789e5;
+constexpr double kSigmaEH = 3.5e-15;
+constexpr double kPi = 3.14159265358979323846;
+
+double coulomb_log(double te, double nu) {
+  double v = (te < 2e5) ? 18.2 + 1.5 * std::log(te) - std::log(nu)
+                        : 24.5 + std::log(te) - std::log(nu);
+  return v > 0.0 ? v : 0.0;
+}
+
+// Appleton-Hartree n^2 for mode sigma (+1 O, -1 X); may be <= 0.
+double refr_index_sq(double X, double Y, double theta, double sigma) {
+  double st = std::sin(theta), ct = std::cos(theta);
+  double yt2 = Y * st * Y * st;
+  double yl2 = Y * ct * Y * ct;
+  double omx = 1.0 - X;
+  double root = std::sqrt(yt2 * yt2 / 4.0 + omx * omx * yl2);
+  double denom = omx - yt2 / 2.0 + sigma * root;
+  if (std::fabs(denom) < 1e-30) denom = 1e-30;
+  return 1.0 - X * omx / denom;
+}
+
+}  // namespace
+
+extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
+                        const double* Parms, const double* /*T*/,
+                        const double* /*DEM*/, const double* /*DDM*/,
+                        double* RL) {
+  const int nz = Lparms[0];
+  const int nf = Lparms[1];
+  if (nz < 0 || nf <= 0) return 1;
+  const double area0 = Rparms[0];
+  const double f0 = Rparms[1];
+  const double dlog = Rparms[2];
+
+  for (int i = 0; i < nf; ++i) {
+    const double nu = f0 * std::pow(10.0, dlog * i);
+    double flux[2] = {0.0, 0.0};   // O, X
+    double tau_tot[2] = {0.0, 0.0};
+    bool blocked[2] = {false, false};
+
+    for (int k = 0; k < nz; ++k) {
+      const double* p = Parms + 15 * k;   // column k, Fortran order
+      const double ds = p[0], te = p[1], ne = p[2], bb = p[3];
+      const double theta = p[4] * kPi / 180.0;
+      const int mech = static_cast<int>(p[6]);
+      const double area = (p[14] > 0.0) ? p[14] : area0;
+      if (!(ds > 0.0) || !std::isfinite(ds) || !std::isfinite(te) ||
+          !std::isfinite(ne) || !std::isfinite(bb))
+        continue;
+      if (!(mech & 1)) continue;   // free-free off -> transparent voxel
+
+      const double nu_p_sq = kFpeCoef * kFpeCoef * ne;
+      const double nu_b = kFbCoef * bb;
+      const double X = nu_p_sq / (nu * nu);
+      const double Y = nu_b / nu;
+      const double lnlam = coulomb_log(te, nu);
+      const double t32 = te * std::sqrt(te);
+
+      double nu_en = 0.0;
+      if (mech & 4) {
+        double tsafe = te > 500.0 ? te : 500.0;
+        double rhs = kSahaCoef * tsafe * std::sqrt(tsafe) *
+                     std::exp(-kChiHoverK / tsafe);
+        double n_h = ne * ne / (rhs > 1e-30 ? rhs : 1e-30);
+        double vmean = std::sqrt(8.0 * kKb * tsafe / (kPi * kMe));
+        nu_en = n_h * kSigmaEH * vmean;
+      }
+
+      const double src_j = kKb * te * nu * nu / (kCcgs * kCcgs);
+      for (int m = 0; m < 2; ++m) {
+        const double sigma = (m == 0) ? 1.0 : -1.0;
+        const double n2 = refr_index_sq(X, Y, theta, sigma);
+        if (n2 <= 0.0) {           // evanescent: mode blocked
+          flux[m] = 0.0;
+          tau_tot[m] = INFINITY;
+          blocked[m] = true;
+          continue;
+        }
+        const double n_sig = std::sqrt(n2 > 1e-12 ? n2 : 1e-12);
+        const double eff = nu + sigma * nu_b * std::fabs(std::cos(theta));
+        const double eff2 = eff * eff > 1e-30 ? eff * eff : 1e-30;
+        double kappa = kKappaFF * ne * ne * lnlam / (n_sig * eff2 * t32);
+        kappa += nu_p_sq / eff2 * nu_en / (kCcgs * n_sig);
+        const double tau = kappa * ds;
+        const double att = std::exp(-tau);
+        const double emit = -std::expm1(-tau);
+        flux[m] = flux[m] * att +
+                  src_j * emit * (area / (kAUcm * kAUcm)) / kSfu;
+        if (!blocked[m]) tau_tot[m] += tau;
+      }
+    }
+
+    double* rl = RL + 7 * i;   // column i, Fortran order
+    rl[0] = nu / 1e9;
+    rl[1] = tau_tot[0];
+    rl[2] = tau_tot[1];
+    rl[3] = 0.0;
+    rl[4] = 0.0;
+    rl[5] = flux[0];
+    rl[6] = flux[1];
+  }
+  return 0;
+}

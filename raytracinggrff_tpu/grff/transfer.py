@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import AU_CM, C_CGS, KB_CGS, SFU2CGS
-from .physics import O_MODE, X_MODE, freefree_kappa
+from .physics import O_MODE, X_MODE, freefree_kappa, gyroresonance_kappa
 
 MECH_FREEFREE = 1
 MECH_GYRORESONANCE = 2
@@ -62,7 +62,7 @@ def log_spaced_freqs(freq0_hz, nfreq, freq_log_step, xp=np):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mechanism", "theta_deg"))
+                   static_argnames=("mechanism", "theta_deg", "s_max"))
 def grff_transfer(
     ds,                    # (Nz, n_pix) segment lengths, cm
     te,                    # (Nz, n_pix) K
@@ -74,6 +74,7 @@ def grff_transfer(
     s_area_cm2=None,       # (Nz, n_pix) per-voxel source area or None
     theta_deg: float = 90.0,
     mechanism: int = MECH_FREEFREE | MECH_NEUTRALS,
+    s_max: int = 30,       # max gyro harmonic (Parms[7] contract)
 ) -> GrffResult:
     ds = jnp.asarray(ds, jnp.float32)
     te = jnp.asarray(te, jnp.float32)
@@ -86,6 +87,7 @@ def grff_transfer(
     nf = freqs.shape[0]
     theta = jnp.float32(np.deg2rad(theta_deg))
     include_neutrals = bool(mechanism & MECH_NEUTRALS)
+    include_gr = bool(mechanism & MECH_GYRORESONANCE)
     area_default = jnp.float32(pixel_area_cm2)
 
     if s_area_cm2 is None:
@@ -119,6 +121,9 @@ def grff_transfer(
             kappa, n2 = freefree_kappa(
                 ne_s, te_s, b_s, nu, theta, sigma,
                 include_neutrals=include_neutrals, xp=jnp)
+            if include_gr:
+                kappa = kappa + gyroresonance_kappa(
+                    ne_s, te_s, b_s, nu, theta, sigma, s_max=s_max, xp=jnp)
             tau = jnp.where(m, kappa * ds_s, 0.0)
             tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
             evan = m & (n2 <= 0.0)

@@ -169,20 +169,29 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     log(f"Ray tracing {n_rays} rays "
         f"({cfg.n_steps} steps, stride {cfg.record_stride}, "
         f"{backend} tracer)...")
+    pallas_perm = None
     if backend == "pallas":
         from .sampler import los_from_records
-        from .tracer_pallas import trace_rays_pallas
-        ptr = trace_rays_pallas(
+        from .tracer_pallas import trace_rays_pallas_device
+        recs, pallas_perm, esc_frac = trace_rays_pallas_device(
             cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"], grid,
             cfg.freq_hz, start, kdir, cfg.dt, cfg.n_steps,
             cfg.record_stride, trace_crosssections=True,
             perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
             seg_records=cfg.seg_records, verbose=verbose)
-        if verbose and ptr.escape_fraction > 0:
-            log(f"  brick escape fraction: {ptr.escape_fraction:.4f} "
+        if verbose and esc_frac > 0:
+            log(f"  brick escape fraction: {esc_frac:.4f} "
                 f"(re-run on reference path)")
-        sampled = los_from_records(ptr.r_record, ptr.s_record,
-                                   ptr.ne, ptr.te, ptr.b, start)
+        # everything below runs in kd-binned ray order on device; the
+        # final (small) maps are un-permuted at the end
+        n_tot = recs.shape[2]
+        start_b = np.full((n_tot, 3), grid.x0 - 1e6, np.float32)
+        start_b[:n_rays] = start
+        start_b = start_b[pallas_perm]
+        pos = jnp.transpose(recs[:, 0:3, :], (0, 2, 1))
+        sampled = los_from_records(pos, recs[:, 3], recs[:, 4],
+                                   recs[:, 5], recs[:, 6], start_b)
+        start = start_b
     else:
         trace_table = pack_trace_table(cubes["omega_pe"], grid)
         model_table = pack_model_table(cubes["ne"], cubes["te"],
@@ -221,10 +230,16 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
                      pixel_area_cm2)
     tb = jnp.nan_to_num(tb, nan=0.0, posinf=0.0, neginf=0.0)
 
-    emission_cube = np.asarray(tb, np.float64).reshape(
-        cfg.n_pix, cfg.n_pix, cfg.nfreq)
-    pol_cube = np.asarray(pol_vi, np.float64).reshape(
-        cfg.n_pix, cfg.n_pix, cfg.nfreq)
+    tb_h = np.asarray(tb, np.float64)
+    pol_h = np.asarray(pol_vi, np.float64)
+    if pallas_perm is not None:
+        inv = np.empty_like(pallas_perm)
+        inv[pallas_perm] = np.arange(len(pallas_perm))
+        tb_h = tb_h[inv][:n_rays]
+        pol_h = pol_h[inv][:n_rays]
+
+    emission_cube = tb_h.reshape(cfg.n_pix, cfg.n_pix, cfg.nfreq)
+    pol_cube = pol_h.reshape(cfg.n_pix, cfg.n_pix, cfg.nfreq)
 
     result = {
         "emission_cube": emission_cube,
@@ -241,7 +256,12 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     if save_plots and out_path:
         from .utils.plotting import save_emission_plot, save_center_pixel_plot
         save_emission_plot(result, cfg.n_pix, cfg.x_fov, out_path)
-        save_center_pixel_plot(sampled, cfg.n_pix, out_path)
+        p_center = (int(cfg.n_pix * 0.7) // 2) * cfg.n_pix \
+            + ((cfg.n_pix - 1) // 2)
+        if pallas_perm is not None:
+            p_center = int(inv[p_center])
+        save_center_pixel_plot(sampled, cfg.n_pix, out_path,
+                               p_index=p_center)
     return result
 
 

@@ -56,11 +56,13 @@ def save_emission_plot(result, n_pix, x_fov, out_path, consider_beam=False,
     return plot_path
 
 
-def save_center_pixel_plot(sampled, n_pix, out_path):
+def save_center_pixel_plot(sampled, n_pix, out_path, p_index=None):
     """Ne/Te/|B|/S along the ray of the reference's inspection pixel
-    (p = (0.7*N//2)*N + (N-1)//2, resample_with_ray_tracing.py:554)."""
+    (p = (0.7*N//2)*N + (N-1)//2, resample_with_ray_tracing.py:554).
+    p_index overrides the column (used when rays are in binned order)."""
     plt = _plt()
-    p_center = (int(n_pix * 0.7) // 2) * n_pix + ((n_pix - 1) // 2)
+    p_center = (p_index if p_index is not None
+                else (int(n_pix * 0.7) // 2) * n_pix + ((n_pix - 1) // 2))
     valid = np.asarray(sampled.valid_mask)[:, p_center]
     if not np.any(valid):
         return None
