@@ -69,16 +69,21 @@ def main():
     start, kdir = make_rays(args.n_pix)
 
     if args.tracer == "pallas":
-        from raytracinggrff_tpu.tracer_pallas import trace_rays_pallas
+        from raytracinggrff_tpu.tracer_pallas import iter_trace_segments
 
         def run():
-            res = trace_rays_pallas(
-                omega_pe, ne, te, b, grid, args.freq, start, kdir, 6e-3,
-                args.n_steps, args.record_stride,
-                trace_crosssections=not args.no_crosssections,
-                perturb_ratio=2.0, rpt=args.rpt,
-                seg_records=args.seg_records)
-            return res
+            # consume the streaming interface the pipeline uses; forcing
+            # each segment's records resident is the honest completion
+            # point (block_until_ready is unreliable on axon)
+            last = None
+            for recs, perm in iter_trace_segments(
+                    omega_pe, ne, te, b, grid, args.freq, start, kdir,
+                    6e-3, args.n_steps, args.record_stride,
+                    trace_crosssections=not args.no_crosssections,
+                    perturb_ratio=2.0, rpt=args.rpt,
+                    seg_records=args.seg_records):
+                last = recs
+            return float(last[-1, 0, 0])
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)

@@ -61,6 +61,65 @@ def log_spaced_freqs(freq0_hz, nfreq, freq_log_step, xp=np):
     return freq0_hz * (10.0 ** (freq_log_step * xp.arange(nfreq)))
 
 
+def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
+                      mechanism=MECH_FREEFREE | MECH_NEUTRALS, s_max=30):
+    """Build the per-voxel transfer update used by both the batch scan
+    (grff_transfer) and the streaming pipeline (one segment at a time).
+
+    Returned fn: (carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k) -> carry
+    with carry = (flux_o, flux_x, tau_o, tau_x), each (n_pix, Nf)."""
+    freqs = jnp.asarray(freqs, jnp.float32)
+    theta = jnp.float32(np.deg2rad(theta_deg))
+    include_neutrals = bool(mechanism & MECH_NEUTRALS)
+    include_gr = bool(mechanism & MECH_GYRORESONANCE)
+    area_default = jnp.float32(pixel_area_cm2)
+    src_coef = (jnp.float32(KB_CGS / (C_CGS * C_CGS) / SFU2CGS)
+                * (freqs * freqs))
+    inv_au_sq = jnp.float32(1.0 / AU_CM) * jnp.float32(1.0 / AU_CM)
+
+    def update(carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k):
+        f_o, f_x, t_o, t_x = carry
+        mask = (mask_k & jnp.isfinite(ne_k) & jnp.isfinite(te_k)
+                & jnp.isfinite(b_k) & jnp.isfinite(ds_k) & (ds_k > 0))
+        ne_s = jnp.where(mask, ne_k, 1.0)[:, None]
+        te_s = jnp.where(mask, te_k, 1e6)[:, None]
+        b_s = jnp.where(mask, b_k, 0.0)[:, None]
+        ds_s = jnp.where(mask, ds_k, 0.0)[:, None]
+        m = mask[:, None]
+        area = (jnp.where(sarea_k > 0, sarea_k, area_default)
+                * inv_au_sq)[:, None]
+        nu = freqs[None, :]
+
+        def mode(sigma, f, t_sum):
+            kappa, n2 = freefree_kappa(
+                ne_s, te_s, b_s, nu, theta, sigma,
+                include_neutrals=include_neutrals, xp=jnp)
+            if include_gr:
+                kappa = kappa + gyroresonance_kappa(
+                    ne_s, te_s, b_s, nu, theta, sigma, s_max=s_max, xp=jnp)
+            tau = jnp.where(m, kappa * ds_s, 0.0)
+            tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
+            evan = m & (n2 <= 0.0)
+            att = jnp.exp(-tau)
+            emit = -jnp.expm1(-tau)
+            src = te_s * src_coef[None, :] * area
+            f_new = f * att + jnp.where(m, src * emit, 0.0)
+            f_new = jnp.where(evan, 0.0, f_new)
+            t_new = jnp.where(evan, jnp.inf, t_sum + tau)
+            return f_new, t_new
+
+        f_o, t_o = mode(O_MODE, f_o, t_o)
+        f_x, t_x = mode(X_MODE, f_x, t_x)
+        return (f_o, f_x, t_o, t_x)
+
+    return update
+
+
+def transfer_carry_init(n_pix, nf):
+    z = jnp.zeros((n_pix, nf), jnp.float32)
+    return (z, z, z, z)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mechanism", "theta_deg", "s_max"))
 def grff_transfer(
@@ -85,63 +144,20 @@ def grff_transfer(
 
     n_pix = ds.shape[1]
     nf = freqs.shape[0]
-    theta = jnp.float32(np.deg2rad(theta_deg))
-    include_neutrals = bool(mechanism & MECH_NEUTRALS)
-    include_gr = bool(mechanism & MECH_GYRORESONANCE)
-    area_default = jnp.float32(pixel_area_cm2)
-
     if s_area_cm2 is None:
         s_area_cm2 = jnp.zeros_like(ds)
     else:
         s_area_cm2 = jnp.asarray(s_area_cm2, jnp.float32)
 
-    # Source prefactor per unit T: S_flux = (k_B T nu^2 / c^2) * (A/AU^2) / SFU.
-    # Factor ordering keeps every float32 intermediate in range:
-    # KB/(c^2*SFU) ~ 1.5e-18, times nu^2 ~ O(1); the area enters as A/AU^2.
-    src_coef = jnp.float32(KB_CGS / (C_CGS * C_CGS) / SFU2CGS) * (freqs * freqs)
-    inv_au_sq = jnp.float32(1.0 / AU_CM) * jnp.float32(1.0 / AU_CM)
+    update = make_voxel_update(freqs, pixel_area_cm2, theta_deg,
+                               mechanism, s_max)
 
     def voxel_step(carry, xs):
-        f_o, f_x, t_o, t_x = carry
         ds_k, te_k, ne_k, b_k, valid_k, sarea_k = xs
+        return update(carry, ds_k, te_k, ne_k, b_k, valid_k, sarea_k), None
 
-        mask = (valid_k & jnp.isfinite(ne_k) & jnp.isfinite(te_k)
-                & jnp.isfinite(b_k) & jnp.isfinite(ds_k) & (ds_k > 0))
-        ne_s = jnp.where(mask, ne_k, 1.0)[:, None]      # (n_pix, 1)
-        te_s = jnp.where(mask, te_k, 1e6)[:, None]
-        b_s = jnp.where(mask, b_k, 0.0)[:, None]
-        ds_s = jnp.where(mask, ds_k, 0.0)[:, None]
-        m = mask[:, None]
-
-        area = (jnp.where(sarea_k > 0, sarea_k, area_default)
-                * inv_au_sq)[:, None]
-        nu = freqs[None, :]                              # (1, Nf)
-
-        def mode(sigma, f, t_sum):
-            kappa, n2 = freefree_kappa(
-                ne_s, te_s, b_s, nu, theta, sigma,
-                include_neutrals=include_neutrals, xp=jnp)
-            if include_gr:
-                kappa = kappa + gyroresonance_kappa(
-                    ne_s, te_s, b_s, nu, theta, sigma, s_max=s_max, xp=jnp)
-            tau = jnp.where(m, kappa * ds_s, 0.0)
-            tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
-            evan = m & (n2 <= 0.0)
-            att = jnp.exp(-tau)
-            emit = -jnp.expm1(-tau)                      # 1 - e^-tau
-            src = te_s * src_coef[None, :] * area
-            f_new = f * att + jnp.where(m, src * emit, 0.0)
-            f_new = jnp.where(evan, 0.0, f_new)
-            t_new = jnp.where(evan, jnp.inf, t_sum + tau)
-            return f_new, t_new
-
-        f_o, t_o = mode(O_MODE, f_o, t_o)
-        f_x, t_x = mode(X_MODE, f_x, t_x)
-        return (f_o, f_x, t_o, t_x), None
-
-    zeros = jnp.zeros((n_pix, nf), jnp.float32)
     (f_o, f_x, t_o, t_x), _ = jax.lax.scan(
-        voxel_step, (zeros, zeros, zeros, zeros),
+        voxel_step, transfer_carry_init(n_pix, nf),
         (ds, te, ne, b, valid, s_area_cm2))
 
     return GrffResult(freqs_ghz=freqs / 1e9, flux_o=f_o, flux_x=f_x,

@@ -130,7 +130,8 @@ class RayEmissionConfig:
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
     rays_per_tile: int = 512       # pallas tracer tile size
-    seg_records: int = 16          # pallas records per kernel segment
+    seg_records: int = 25          # pallas records per kernel segment
+    pallas_interpret: bool = False  # interpreter-mode kernels (tests)
 
 
 def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
@@ -169,29 +170,17 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     log(f"Ray tracing {n_rays} rays "
         f"({cfg.n_steps} steps, stride {cfg.record_stride}, "
         f"{backend} tracer)...")
+    freq0 = cfg.freq0 if cfg.freq0 is not None else cfg.freq_hz
+    frequencies_hz = log_spaced_freqs(freq0, cfg.nfreq, cfg.freq_log_step)
+    pixel_size_cm = (2 * cfg.x_fov) / cfg.n_pix * R_SUN_CM
+    pixel_area_cm2 = pixel_size_cm * pixel_size_cm
+
     pallas_perm = None
+    sampled = None
     if backend == "pallas":
-        from .sampler import los_from_records
-        from .tracer_pallas import trace_rays_pallas_device
-        recs, pallas_perm, esc_frac = trace_rays_pallas_device(
-            cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"], grid,
-            cfg.freq_hz, start, kdir, cfg.dt, cfg.n_steps,
-            cfg.record_stride, trace_crosssections=True,
-            perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
-            seg_records=cfg.seg_records, verbose=verbose)
-        if verbose and esc_frac > 0:
-            log(f"  brick escape fraction: {esc_frac:.4f} "
-                f"(re-run on reference path)")
-        # everything below runs in kd-binned ray order on device; the
-        # final (small) maps are un-permuted at the end
-        n_tot = recs.shape[2]
-        start_b = np.full((n_tot, 3), grid.x0 - 1e6, np.float32)
-        start_b[:n_rays] = start
-        start_b = start_b[pallas_perm]
-        pos = jnp.transpose(recs[:, 0:3, :], (0, 2, 1))
-        sampled = los_from_records(pos, recs[:, 3], recs[:, 4],
-                                   recs[:, 5], recs[:, 6], start_b)
-        start = start_b
+        flux_o, flux_x, pallas_perm = _streamed_trace_transfer(
+            cubes, grid, cfg, start, kdir, frequencies_hz,
+            pixel_area_cm2, log, verbose)
     else:
         trace_table = pack_trace_table(cubes["omega_pe"], grid)
         model_table = pack_model_table(cubes["ne"], cubes["te"],
@@ -208,24 +197,19 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
         log("Sampling Ne/Te/B along rays...")
         sampled = sample_model_with_rays(model_table, grid, trace.r_record,
                                          trace.s_record, start)
+        log(f"GRFF transfer ({cfg.nfreq} freqs, "
+            f"{'S on' if cfg.s_input_on else 'S off'})...")
+        s_area = (sampled.s * jnp.float32(pixel_area_cm2)
+                  if cfg.s_input_on else None)
+        res = get_mw_slice(sampled.ds, sampled.te, sampled.ne, sampled.b,
+                           sampled.valid_mask, freq0, cfg.nfreq,
+                           cfg.freq_log_step, pixel_area_cm2,
+                           s_area_cm2=s_area, theta_deg=cfg.theta_deg,
+                           mechanism=cfg.mechanism)
+        flux_o, flux_x = res.flux_o, res.flux_x
 
-    freq0 = cfg.freq0 if cfg.freq0 is not None else cfg.freq_hz
-    frequencies_hz = log_spaced_freqs(freq0, cfg.nfreq, cfg.freq_log_step)
-    pixel_size_cm = (2 * cfg.x_fov) / cfg.n_pix * R_SUN_CM
-    pixel_area_cm2 = pixel_size_cm * pixel_size_cm
-
-    log(f"GRFF transfer ({cfg.nfreq} freqs, "
-        f"{'S on' if cfg.s_input_on else 'S off'})...")
-    s_area = (sampled.s * jnp.float32(pixel_area_cm2)
-              if cfg.s_input_on else None)
-    res = get_mw_slice(sampled.ds, sampled.te, sampled.ne, sampled.b,
-                       sampled.valid_mask, freq0, cfg.nfreq,
-                       cfg.freq_log_step, pixel_area_cm2,
-                       s_area_cm2=s_area, theta_deg=cfg.theta_deg,
-                       mechanism=cfg.mechanism)
-
-    intensity = res.flux_o + res.flux_x                      # (n_rays, Nf)
-    pol_vi = (res.flux_o - res.flux_x) / (intensity + 1e-30)
+    intensity = flux_o + flux_x                              # (n_rays, Nf)
+    pol_vi = (flux_o - flux_x) / (intensity + 1e-30)
     tb = tb_from_sfu(intensity, jnp.asarray(frequencies_hz, jnp.float32),
                      pixel_area_cm2)
     tb = jnp.nan_to_num(tb, nan=0.0, posinf=0.0, neginf=0.0)
@@ -256,13 +240,83 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     if save_plots and out_path:
         from .utils.plotting import save_emission_plot, save_center_pixel_plot
         save_emission_plot(result, cfg.n_pix, cfg.x_fov, out_path)
-        p_center = (int(cfg.n_pix * 0.7) // 2) * cfg.n_pix \
-            + ((cfg.n_pix - 1) // 2)
-        if pallas_perm is not None:
-            p_center = int(inv[p_center])
-        save_center_pixel_plot(sampled, cfg.n_pix, out_path,
-                               p_index=p_center)
+        if sampled is not None:
+            # per-ray LOS diagnostics exist only on the XLA (record) path;
+            # the streamed pallas path never materializes them
+            save_center_pixel_plot(sampled, cfg.n_pix, out_path)
     return result
+
+
+def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
+                             pixel_area_cm2, log, verbose):
+    """Pallas path: stream trace segments straight into the radiative-
+    transfer carry on device. Records never cross the host boundary; only
+    the per-segment carry (flux/tau + previous-valid-position, all
+    O(n_rays) small) is re-permuted between segment binnings.
+    Returns (flux_o, flux_x, final_perm)."""
+    from .grff.transfer import make_voxel_update, transfer_carry_init
+    from .tracer_pallas import iter_trace_segments
+
+    freqs = jnp.asarray(frequencies_hz, jnp.float32)
+    nf = freqs.shape[0]
+    update = make_voxel_update(freqs, pixel_area_cm2, cfg.theta_deg,
+                               cfg.mechanism)
+    s_on = bool(cfg.s_input_on)
+    area32 = jnp.float32(pixel_area_cm2)
+    scale = jnp.float32(R_SUN_CM)
+
+    @jax.jit
+    def stream_seg(tcarry, prev_pos, recs):
+        def body(c, rec):
+            tc, prev = c
+            pos = rec[0:3].T                       # (n_tot, 3)
+            s = rec[3]
+            valid = (jnp.all(jnp.isfinite(pos), axis=1)
+                     & jnp.isfinite(s) & (s > 0))
+            psafe = jnp.where(valid[:, None], pos, prev)
+            dsv = jnp.sqrt(jnp.sum((psafe - prev) ** 2, axis=1)) * scale
+            dsv = jnp.where(valid, dsv, 0.0)
+            sarea = s * area32 if s_on else jnp.zeros_like(s)
+            tc = update(tc, dsv, rec[5], rec[4], rec[6], valid, sarea)
+            return (tc, psafe), None
+
+        (tc, prev), _ = jax.lax.scan(body, (tcarry, prev_pos), recs)
+        return tc, prev
+
+    stats = {}
+    carry = None
+    prev_pos = None
+    inv_prev = None
+    last_perm = None
+    n_seg = 0
+    for recs, perm in iter_trace_segments(
+            cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"], grid,
+            cfg.freq_hz, start, kdir, cfg.dt, cfg.n_steps,
+            cfg.record_stride, trace_crosssections=True,
+            perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
+            seg_records=cfg.seg_records, interpret=cfg.pallas_interpret,
+            verbose=verbose, stats=stats):
+        n_seg += 1
+        n_tot = perm.shape[0]
+        if carry is None:
+            carry = transfer_carry_init(n_tot, int(nf))
+            start_b = np.full((n_tot, 3), grid.x0 - 1e6, np.float32)
+            start_b[:start.shape[0]] = start
+            prev_pos = jnp.asarray(start_b[perm])
+        else:
+            rel = jnp.asarray(inv_prev[perm])
+            carry = tuple(c[rel] for c in carry)
+            prev_pos = prev_pos[rel]
+        carry, prev_pos = stream_seg(carry, prev_pos, recs)
+        inv_prev = np.empty_like(perm)
+        inv_prev[perm] = np.arange(n_tot)
+        last_perm = perm
+
+    if verbose and stats.get("escaped"):
+        frac = stats["escaped"] / max(1, start.shape[0] * n_seg)
+        log(f"  brick escape fraction: {frac:.4f} "
+            f"(re-run on reference path)")
+    return carry[0], carry[1], last_perm
 
 
 # ---------------------------------------------------------------------------
