@@ -52,9 +52,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import C_R, FILL_B, FILL_NE, FILL_TE
 from ..grids import UniformGrid
 
-B = 8          # brick nodes along y and z
+BX = 16        # x-window nodes (lane-dim contraction width)
+BY = 8         # brick nodes along y
+BZ = 16        # brick nodes along z (propagation axis spreads fastest)
 NCH = 4        # channels per cube (trace: wpe,gx,gy,gz; sample: ne,te,b,pad)
-BZC = B * NCH  # fused z*channel extent of a brick
+BZC = BZ * NCH  # fused z*channel extent of a brick
 
 
 def _tent_weights(l, n_rows, rows):
@@ -67,20 +69,20 @@ def _tent_weights(l, n_rows, rows):
 
 
 def _brick_sample(win_ref, lx, ly, lz, n_rows):
-    """Trilinear sample of a (By, Bz*C, Bx=8) x-window at local coords
+    """Trilinear sample of a (By, Bz*C, Bx) x-window at local coords
     (1, R) each. Returns NCH (1, R) channel rows; out-of-window rows
     give 0."""
-    wx = _tent_weights(lx, n_rows, B)            # (B, R)
-    wy = _tent_weights(ly, n_rows, B)
-    wz = _tent_weights(lz, n_rows, B)
+    wx = _tent_weights(lx, n_rows, BX)           # (BX, R)
+    wy = _tent_weights(ly, n_rows, BY)           # (BY, R)
+    wz = _tent_weights(lz, n_rows, BZ)           # (BZ, R)
 
-    a = win_ref[:].reshape(B * BZC, B)           # (By*Bz*C, Bx)
+    a = win_ref[:].reshape(BY * BZC, BX)         # (By*Bz*C, Bx)
     t1 = jax.lax.dot_general(                    # (By*Bz*C, R)
         a, wx, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    t1 = t1.reshape(B, BZC, n_rows)              # (By, Bz*C, R)
+    t1 = t1.reshape(BY, BZC, n_rows)             # (By, Bz*C, R)
     t2 = jnp.sum(t1 * wy[:, None, :], axis=0)    # (Bz*C, R)
-    t2 = t2.reshape(B, NCH, n_rows)              # fused axis is z-major
+    t2 = t2.reshape(BZ, NCH, n_rows)             # fused axis is z-major
     t3 = jnp.sum(t2 * wz[:, None, :], axis=0)    # (C, R)
     return t3[0:1], t3[1:2], t3[2:3], t3[3:4]
 
@@ -134,36 +136,40 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             ymin, ymax = mms(fy)
             zmin, zmax = mms(fz)
             ox, oy, oz = origins_f()
-            lo = jnp.minimum(jnp.minimum(xmin - ox, ymin - oy), zmin - oz)
-            hi = jnp.maximum(jnp.maximum(xmax - ox, ymax - oy), zmax - oz)
-            need = any_active & ((lo < 1.0) | (hi > B - 2.0))
+            lo_x, hi_x = xmin - ox, xmax - ox
+            lo_y, hi_y = ymin - oy, ymax - oy
+            lo_z, hi_z = zmin - oz, zmax - oz
+            need = any_active & (
+                (lo_x < 1.0) | (hi_x > BX - 2.0)
+                | (lo_y < 1.0) | (hi_y > BY - 2.0)
+                | (lo_z < 1.0) | (hi_z > BZ - 2.0))
 
             @pl.when(need)
             def _():
-                def center(mn, mx, n):
+                def center(mn, mx, n, bw):
                     c = 0.5 * (jnp.maximum(mn, 0.0)
                                + jnp.minimum(mx, np.float32(n - 1)))
-                    return jnp.clip((c - B / 2 + 0.5).astype(jnp.int32),
-                                    0, n - B)
+                    return jnp.clip((c - bw / 2 + 0.5).astype(jnp.int32),
+                                    0, n - bw)
 
-                nox = center(xmin, xmax, nx)
-                noy = center(ymin, ymax, ny)
-                noz = center(zmin, zmax, nz)
+                nox = center(xmin, xmax, nx, BX)
+                noy = center(ymin, ymax, ny, BY)
+                noz = center(zmin, zmax, nz, BZ)
                 orig_ref[0] = nox
                 orig_ref[1] = noy
                 orig_ref[2] = noz
                 cp1 = pltpu.make_async_copy(
-                    tcube.at[pl.ds(noy, B), pl.ds(noz * NCH, BZC), :],
+                    tcube.at[pl.ds(noy, BY), pl.ds(noz * NCH, BZC), :],
                     tbrick, sem)
                 cp1.start()
                 cp1.wait()
                 cp2 = pltpu.make_async_copy(
-                    scube.at[pl.ds(noy, B), pl.ds(noz * NCH, BZC), :],
+                    scube.at[pl.ds(noy, BY), pl.ds(noz * NCH, BZC), :],
                     sbrick, sem)
                 cp2.start()
                 cp2.wait()
-                twin[:] = pltpu.roll(tbrick[:], -nox, axis=2)[:, :, :B]
-                swin[:] = pltpu.roll(sbrick[:], -nox, axis=2)[:, :, :B]
+                twin[:] = pltpu.roll(tbrick[:], -nox, axis=2)[:, :, :BX]
+                swin[:] = pltpu.roll(sbrick[:], -nox, axis=2)[:, :, :BX]
 
         def local_xyz(fx, fy, fz):
             ox, oy, oz = origins_f()
@@ -175,8 +181,8 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             fx, fy, fz = to_frac(px, py, pz)
             lx, ly, lz = local_xyz(fx, fy, fz)
             inb = inbounds(fx, fy, fz)
-            in_brick = ((lx >= 0) & (lx <= B - 1) & (ly >= 0)
-                        & (ly <= B - 1) & (lz >= 0) & (lz <= B - 1))
+            in_brick = ((lx >= 0) & (lx <= BX - 1) & (ly >= 0)
+                        & (ly <= BY - 1) & (lz >= 0) & (lz <= BZ - 1))
             esc_new = esc_flags | (inb & ~in_brick)
 
             wpe, gx, gy, gz = _brick_sample(twin, lx, ly, lz, n_rows)
@@ -281,8 +287,8 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             lx, ly, lz = local_xyz(fx, fy, fz)
             ne_v, te_v, b_v, _ = _brick_sample(swin, lx, ly, lz, rpt)
             inb = inbounds(fx, fy, fz)
-            in_brick = ((lx >= 0) & (lx <= B - 1) & (ly >= 0)
-                        & (ly <= B - 1) & (lz >= 0) & (lz <= B - 1))
+            in_brick = ((lx >= 0) & (lx <= BX - 1) & (ly >= 0)
+                        & (ly <= BY - 1) & (lz >= 0) & (lz <= BZ - 1))
             good = inb & in_brick
             ne_v = jnp.where(good, ne_v, np.float32(FILL_NE))
             te_v = jnp.where(good, te_v, np.float32(FILL_TE))
@@ -369,10 +375,10 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
             jax.ShapeDtypeStruct((n_tiles, rps, 8, rpt), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, BZC, nx_pad), jnp.float32),  # full-x staging
-            pltpu.VMEM((B, BZC, nx_pad), jnp.float32),
-            pltpu.VMEM((B, BZC, B), jnp.float32),       # 8-node x-windows
-            pltpu.VMEM((B, BZC, B), jnp.float32),
+            pltpu.VMEM((BY, BZC, nx_pad), jnp.float32),  # full-x staging
+            pltpu.VMEM((BY, BZC, nx_pad), jnp.float32),
+            pltpu.VMEM((BY, BZC, BX), jnp.float32),      # x-windows
+            pltpu.VMEM((BY, BZC, BX), jnp.float32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],

@@ -303,7 +303,7 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             start_b = np.full((n_tot, 3), grid.x0 - 1e6, np.float32)
             start_b[:start.shape[0]] = start
             prev_pos = jnp.asarray(start_b[perm])
-        else:
+        elif perm is not last_perm:   # identical object => binning unchanged
             rel = jnp.asarray(inv_prev[perm])
             carry = tuple(c[rel] for c in carry)
             prev_pos = prev_pos[rel]

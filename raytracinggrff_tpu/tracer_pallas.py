@@ -39,11 +39,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from .grids import UniformGrid
 from .ops.pallas_trace import pack_cube_zc, run_trace_segment
 from .ops.trilinear import pack_fields, trilinear_packed
 from .tracer import gradient_cubes, init_k_vectors, trace_rays
 from .constants import FILL_B, FILL_NE, FILL_TE
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
+                          start, kdir, freq_hz):
+    """One jitted setup graph: gradient cubes, fused-layout packing, kc0
+    init. (Eager per-op dispatch through the TPU tunnel costs seconds per
+    op; this was ~2.5 min of setup when run eagerly.)"""
+    gx, gy, gz = gradient_cubes(omega_pe_cube, grid)
+    tcube = pack_cube_zc(omega_pe_cube, gx, gy, gz)
+    scube = pack_cube_zc(ne_cube, te_cube, b_cube)
+    wpe_table = pack_fields(omega_pe_cube)
+    k0 = init_k_vectors(wpe_table, grid, freq_hz, start, kdir)
+    return tcube, scube, k0
 
 
 class PallasTraceResult(NamedTuple):
@@ -55,24 +71,27 @@ class PallasTraceResult(NamedTuple):
     escape_fraction: float
 
 
-def kd_bin_permutation(pos: np.ndarray, rpt: int) -> np.ndarray:
+def kd_bin_permutation(pos: np.ndarray, rpt: int,
+                       capacity=(1.0, 1.0, 1.0)) -> np.ndarray:
     """Recursive median partition into spatially tight bins of `rpt` rays.
 
     pos: (n, 3) host array with n = rpt * 2^k so every leaf is exactly
-    full. Returns the permutation ordering rays bin-major."""
-    n = pos.shape[0]
+    full. Splits the axis with the largest width/capacity ratio, so leaves
+    respect anisotropic brick extents (the x-window is narrower than the
+    y/z brick). Returns the permutation ordering rays bin-major."""
+    cap = np.asarray(capacity, np.float64)
 
     def split(idx):
         if len(idx) <= rpt:
             return [idx]
         p = pos[idx]
-        widths = p.max(axis=0) - p.min(axis=0)
+        widths = (p.max(axis=0) - p.min(axis=0)) / cap
         ax = int(np.argmax(widths))
         half = len(idx) // 2
         part = np.argpartition(p[:, ax], half)
         return split(idx[part[:half]]) + split(idx[part[half:]])
 
-    return np.concatenate(split(np.arange(n)))
+    return np.concatenate(split(np.arange(pos.shape[0])))
 
 
 def _segment_plan(n_steps, record_stride, seg_records):
@@ -116,14 +135,11 @@ def iter_trace_segments(
     n_tiles = n_tot // rpt
 
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
-    gx, gy, gz = gradient_cubes(omega_pe_cube, grid)
-    tcube = pack_cube_zc(omega_pe_cube, gx, gy, gz)
-    scube = pack_cube_zc(ne_cube, te_cube, b_cube)
-
-    wpe_table = pack_fields(omega_pe_cube)
-    k0 = init_k_vectors(wpe_table, grid, freq_hz,
-                        jnp.asarray(start, jnp.float32),
-                        jnp.asarray(kdir, jnp.float32))
+    tcube, scube, k0 = _prepare_trace_inputs(
+        omega_pe_cube, jnp.asarray(ne_cube, jnp.float32),
+        jnp.asarray(te_cube, jnp.float32), jnp.asarray(b_cube, jnp.float32),
+        grid, jnp.asarray(start, jnp.float32),
+        jnp.asarray(kdir, jnp.float32), jnp.float32(freq_hz))
 
     state_h = np.zeros((n_tot, 8), np.float32)
     state_h[:, 0] = grid.x0 - 1e6    # dummy padding: frozen outside cube
@@ -140,12 +156,42 @@ def iter_trace_segments(
 
     # state stays in the current segment's bin order; global_perm maps
     # current row -> original ray index (composed across segments)
+    from .ops.pallas_trace import BX, BY, BZ
+    # kd capacity in R_sun per axis: usable brick extents minus margins
+    capacity = np.array([(BX - 2) * grid.dx, (BY - 2) * grid.dy,
+                         (BZ - 2) * grid.dz])
+    bounds_lo = np.array(grid.origin, np.float32)
+    bounds_hi = bounds_lo + np.array(
+        [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
+         (grid.nz - 1) * grid.dz], np.float32)
+
+    def bin_rays(pos_h):
+        """kd-bin rays by position. Dead (out-of-cube, permanently frozen)
+        rays are parked in trailing all-dead bins so they don't inflate
+        living bins' bboxes. Returns None when the current binning still
+        fits the bricks comfortably (skips the re-permute entirely).
+
+        Note: binning on predicted segment-midpoint positions was tried and
+        is WORSE — the kernel re-centers bricks on instantaneous bboxes, so
+        the current span is what matters."""
+        alive = np.all((pos_h >= bounds_lo) & (pos_h <= bounds_hi), axis=1)
+        key = np.where(alive[:, None], pos_h, bounds_hi + 1e3)
+        # current per-bin spans (bin-major order): skip re-binning while
+        # every living bin still fits 70% of its brick capacity
+        bins = key.reshape(n_tiles, rpt, 3)
+        spans = bins.max(axis=1) - bins.min(axis=1)
+        dead_bin = np.all(bins[:, :, 0] > bounds_hi[0], axis=1)
+        if np.all((spans <= 0.7 * capacity) | dead_bin[:, None]):
+            return None
+        return kd_bin_permutation(key, rpt, capacity=capacity)
+
     global_perm = np.arange(n_tot)
     for first_block, rps in plan:
         pos_h = np.asarray(state[:, 0:3])
-        local = kd_bin_permutation(pos_h, rpt)
-        global_perm = global_perm[local]
-        state = state[jnp.asarray(local)]
+        local = bin_rays(pos_h)
+        if local is not None:
+            global_perm = global_perm[local]
+            state = state[jnp.asarray(local)]
         kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
         seg_start = kstate
 
@@ -230,7 +276,10 @@ def _rerun_escaped(assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
     esc = new_state[:, 7] > 0.5
     idx = np.flatnonzero(esc)
     m = len(idx)
-    bucket = max(256, 1 << (m - 1).bit_length())
+    # two fixed bucket sizes -> at most two XLA fallback compiles per
+    # process (each costs ~30s through the remote compiler)
+    bucket = 2048 if m <= 2048 else max(
+        16384, 1 << (m - 1).bit_length())
     idx_pad = np.concatenate([idx, np.full(bucket - m, idx[0])])
     sub = jnp.asarray(seg_start[idx_pad])
     n_steps_seg = first_block + (rps - 1) * stride
