@@ -25,11 +25,17 @@ from .pipeline import (RayEmissionConfig, run_ray_tracing_emission,
                        resample_mas_los, synthetic_ff, prepare_cubes)
 from .utils import patch_nan_emission_map
 
-# Reference-compatible aliases (raytracingGRFF/__init__.py exports)
+# Reference-compatible aliases (raytracingGRFF/__init__.py exports and the
+# legacy names kept at gpu_raytrace.py:762-780)
 ray_trace = trace_rays_from_cube
 trace_ray = trace_rays_from_cube
 load_mas_var_filtered = load_mas_var
 resample_to_xyz_cube = resample_var_to_cube
+trace_los_cpu = sample_model_with_rays_arrays
+trace_los_gpu = sample_model_with_rays_arrays
+trace_los_gpu_cupy = sample_model_with_rays_arrays
+trace_los_dispatch = sample_model_with_rays_arrays
+ray_trace_gpu = trace_rays_from_cube
 
 __all__ = [
     "C_R", "R_SUN_CM", "R_SUN_M",

@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--phi0-offset", type=float, default=0.0)
     p.add_argument("--consider-beam", action="store_true")
     p.add_argument("--beam-fwhm", type=float, default=0.1)
+    p.add_argument("--baseline-m", type=float, default=None,
+                   help="Derive the beam from an interferometer baseline: "
+                        "theta = lambda/baseline, FWHM expressed in R_sun "
+                        "at 1 AU (ref: compare_on_off_scaling_factor.py)")
     p.add_argument("--skip-run", action="store_true",
                    help="Only load existing npz and compare/plot")
     p.add_argument("--out-dir", "-o", type=str, default=".")
@@ -54,6 +58,14 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.baseline_m is not None:
+        from ..constants import AU_CM, R_SUN_CM, C_CGS
+        lam_cm = C_CGS / args.freq
+        theta_rad = lam_cm / (args.baseline_m * 100.0)
+        args.beam_fwhm = theta_rad * AU_CM / R_SUN_CM
+        args.consider_beam = True
+        print(f"Baseline {args.baseline_m} m -> beam FWHM "
+              f"{args.beam_fwhm:.3f} R_sun at {args.freq/1e6:.1f} MHz")
     out_dir = Path(args.out_dir).resolve()
     out_dir.mkdir(parents=True, exist_ok=True)
     path_on = out_dir / "ray_tracing_compare_s_on.npz"
@@ -84,6 +96,12 @@ def main(argv=None):
 
     t_on = load_map(path_on)
     t_off = load_map(path_off)
+    if args.consider_beam:
+        # beam-smoothed comparison (ref: compare_on_off_scaling_factor.py)
+        from ..utils.beam import gaussian_beam_convolve
+        sigma_pix = args.beam_fwhm / (2 * args.X_FOV) * args.N_pix
+        t_on = np.asarray(gaussian_beam_convolve(t_on, sigma_pix))
+        t_off = np.asarray(gaussian_beam_convolve(t_off, sigma_pix))
     valid = (np.isfinite(t_on) & np.isfinite(t_off)
              & (t_on > 0) & (t_off > 0))
     diff = t_on - t_off

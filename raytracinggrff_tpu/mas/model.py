@@ -100,6 +100,18 @@ class MASVariable:
             )
         return self._dev
 
+    def sample_at_coords(self, lon_deg, lat_deg, r_rsun):
+        """psipy-compatible signature: longitude/latitude in degrees,
+        radius in R_sun (ref usage: script/resampling_MAS_LOS.py:254-263).
+        Returns values in physical units (the unit conversion the reference
+        applies via astropy .to() is already baked into self.data)."""
+        import numpy as _np
+        lon = _np.deg2rad(_np.asarray(lon_deg))
+        colat = _np.pi / 2 - _np.deg2rad(_np.asarray(lat_deg))
+        return self.sample_sph(jnp.asarray(r_rsun, jnp.float32),
+                               jnp.asarray(colat, jnp.float32),
+                               jnp.asarray(lon, jnp.float32))
+
     def sample_sph(self, r_q, colat_q, phi_q):
         """Trilinear sample at spherical coords (jax arrays, any shape).
 
