@@ -165,19 +165,18 @@ def iter_trace_segments(
         [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
          (grid.nz - 1) * grid.dz], np.float32)
 
-    def bin_rays(pos_h):
-        """kd-bin rays by position. Dead (out-of-cube, permanently frozen)
-        rays are parked in trailing all-dead bins so they don't inflate
-        living bins' bboxes. Returns None when the current binning still
-        fits the bricks comfortably (skips the re-permute entirely).
+    def bin_rays(pos_h, cohort):
+        """kd-bin rays by position. Dead (out-of-cube) rays and the XLA
+        cohort are parked in trailing bins so they don't inflate living
+        bins' bboxes. Returns None when the current binning still fits the
+        bricks comfortably (skips the re-permute entirely).
 
         Note: binning on predicted segment-midpoint positions was tried and
         is WORSE — the kernel re-centers bricks on instantaneous bboxes, so
         the current span is what matters."""
         alive = np.all((pos_h >= bounds_lo) & (pos_h <= bounds_hi), axis=1)
-        key = np.where(alive[:, None], pos_h, bounds_hi + 1e3)
-        # current per-bin spans (bin-major order): skip re-binning while
-        # every living bin still fits 70% of its brick capacity
+        park = ~alive | cohort
+        key = np.where(park[:, None], pos_h * 0 + (bounds_hi + 1e3), pos_h)
         bins = key.reshape(n_tiles, rpt, 3)
         spans = bins.max(axis=1) - bins.min(axis=1)
         dead_bin = np.all(bins[:, :, 0] > bounds_hi[0], axis=1)
@@ -185,15 +184,27 @@ def iter_trace_segments(
             return None
         return kd_bin_permutation(key, rpt, capacity=capacity)
 
+    # Rays that escape their brick join a persistent "XLA cohort": they are
+    # pre-frozen for the kernel (so living bins stay tight) and integrated
+    # by the XLA fallback every segment. Membership is re-tested every few
+    # segments — chaotic caustic rays often re-join coherent flows later.
+    cohort = np.zeros(n_tot, bool)
     global_perm = np.arange(n_tot)
-    for first_block, rps in plan:
+    for seg_i, (first_block, rps) in enumerate(plan):
+        if seg_i % 4 == 3:
+            cohort[:] = False    # periodic retry on the fast path
         pos_h = np.asarray(state[:, 0:3])
-        local = bin_rays(pos_h)
+        local = bin_rays(pos_h, cohort)
         if local is not None:
             global_perm = global_perm[local]
             state = state[jnp.asarray(local)]
+            cohort = cohort[local]
         kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
         seg_start = kstate
+        if cohort.any():
+            pre = (jnp.asarray(cohort.astype(np.float32))
+                   .reshape(n_tiles, rpt))
+            kstate = kstate.at[:, 7, :].set(pre)
 
         res = run_trace_segment(
             tcube, scube, kstate, grid, rpt, rps, record_stride,
@@ -202,16 +213,18 @@ def iter_trace_segments(
         kstate = res.state
         recs = res.records.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
 
-        n_esc = int(np.asarray(jnp.sum(kstate[:, 7, :] > 0.5)))
+        esc_h = np.asarray(kstate[:, 7, :]).reshape(n_tot) > 0.5
+        n_esc = int(esc_h.sum())
         if n_esc:
             stats["escaped"] += n_esc
             if verbose:
-                print(f"[pallas-trace] segment: {n_esc} escaped rays "
+                print(f"[pallas-trace] segment: {n_esc} escaped/cohort rays "
                       f"re-run on XLA path")
             kstate, recs = _rerun_escaped(
                 xla_assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
-                seg_start, kstate, recs, first_block, rps, record_stride,
-                dt, perturb_ratio, trace_crosssections, rpt)
+                seg_start, kstate, recs, esc_h, first_block, rps,
+                record_stride, dt, perturb_ratio, trace_crosssections, rpt)
+            cohort = cohort | esc_h
 
         state = jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T
         state = state.at[:, 7].set(0.0)
@@ -258,8 +271,8 @@ def trace_rays_pallas(
 
 
 def _rerun_escaped(assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
-                   seg_start_kstate, kstate, recs, first_block, rps, stride,
-                   dt, perturb_ratio, trace_crosssections, rpt):
+                   seg_start_kstate, kstate, recs, esc_h, first_block, rps,
+                   stride, dt, perturb_ratio, trace_crosssections, rpt):
     """Re-run escaped rays for one segment on the XLA reference tracer and
     merge on the host. Subsets are padded to power-of-two buckets so the
     fallback compiles a bounded number of shapes."""
@@ -269,48 +282,56 @@ def _rerun_escaped(assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
         assets["model_table"] = pack_fields(ne_cube, te_cube, b_cube)
 
     n_tot = recs.shape[2]
-    new_state = np.array(
-        jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T)
     seg_start = np.asarray(
         jnp.transpose(seg_start_kstate, (1, 0, 2)).reshape(8, n_tot).T)
-    esc = new_state[:, 7] > 0.5
-    idx = np.flatnonzero(esc)
-    m = len(idx)
-    # two fixed bucket sizes -> at most two XLA fallback compiles per
-    # process (each costs ~30s through the remote compiler)
-    bucket = 2048 if m <= 2048 else max(
-        16384, 1 << (m - 1).bit_length())
-    idx_pad = np.concatenate([idx, np.full(bucket - m, idx[0])])
-    sub = jnp.asarray(seg_start[idx_pad])
+    idx_all = np.flatnonzero(esc_h)
     n_steps_seg = first_block + (rps - 1) * stride
 
-    res = trace_rays(assets["trace_table"], grid, 0.0, sub[:, 0:3],
-                     jnp.zeros_like(sub[:, 3:6]), float(dt), n_steps_seg,
-                     stride, trace_crosssections, float(perturb_ratio),
-                     "cumulative", first_block=first_block,
-                     k_init=sub[:, 3:6])
-    r_rec = np.asarray(res.r_record)[:, :m]
-    s_rec = np.asarray(res.s_record)[:, :m] * seg_start[idx, 6][None, :]
-    final = np.asarray(res.final_state)[:m]
+    # fixed bucket sizes {2048, 16384}, larger counts processed in 16384
+    # chunks: the XLA fallback compiles exactly two shapes per process
+    # (each compile costs ~30s through the remote compiler)
+    def run_chunk(idx):
+        """Trace one escape chunk on the XLA path; stays on device."""
+        m = len(idx)
+        bucket = 2048 if m <= 2048 else 16384
+        idx_pad = np.concatenate([idx, np.full(bucket - m, idx[0])])
+        sub = jnp.asarray(seg_start[idx_pad])
+        res = trace_rays(assets["trace_table"], grid, 0.0, sub[:, 0:3],
+                         jnp.zeros_like(sub[:, 3:6]), float(dt),
+                         n_steps_seg, stride, trace_crosssections,
+                         float(perturb_ratio), "cumulative",
+                         first_block=first_block, k_init=sub[:, 3:6])
+        r_rec = res.r_record[:, :m]
+        s_rec = res.s_record[:, :m] * jnp.asarray(seg_start[idx, 6])[None, :]
+        final = res.final_state[:m]
+        v, _ = trilinear_packed(assets["model_table"], grid,
+                                r_rec[..., 0], r_rec[..., 1], r_rec[..., 2])
+        fills = jnp.array([FILL_NE, FILL_TE, FILL_B], jnp.float32)
+        v = jnp.where(jnp.isfinite(v), v, fills)
+        return r_rec, s_rec, final, v
 
-    v, _ = trilinear_packed(assets["model_table"], grid,
-                            jnp.asarray(r_rec[..., 0]),
-                            jnp.asarray(r_rec[..., 1]),
-                            jnp.asarray(r_rec[..., 2]))
-    fills = jnp.array([FILL_NE, FILL_TE, FILL_B], jnp.float32)
-    v = np.asarray(jnp.where(jnp.isfinite(v), v, fills))
+    parts = [run_chunk(idx_all[i:i + 16384])
+             for i in range(0, len(idx_all), 16384)]
+    idx = jnp.asarray(idx_all)
+    r_rec = jnp.concatenate([p[0] for p in parts], axis=1)  # (rps, m, 3)
+    s_rec = jnp.concatenate([p[1] for p in parts], axis=1)
+    final = jnp.concatenate([p[2] for p in parts], axis=0)
+    v = jnp.concatenate([p[3] for p in parts], axis=1)      # (rps, m, 3)
 
-    recs = np.array(recs)
-    recs[:, 0:3, idx] = r_rec.transpose(0, 2, 1)
-    recs[:, 3, idx] = s_rec
-    recs[:, 4:7, idx] = v.transpose(0, 2, 1)
-
-    new_state[idx, 0:3] = final[:, 0:3]
-    new_state[idx, 3:6] = final[:, 3:6]
-    new_state[idx, 6] = s_rec[-1]
-    new_state[:, 7] = 0.0
+    # device-side merge: one column scatter per row group (the previous
+    # host merge cost ~2s/segment in tunnel transfers alone)
+    sub_rec = jnp.concatenate(
+        [jnp.transpose(r_rec, (0, 2, 1)), s_rec[:, None, :],
+         jnp.transpose(v, (0, 2, 1)),
+         jnp.zeros_like(s_rec)[:, None, :]], axis=1)        # (rps, 8, m)
+    recs = jnp.asarray(recs).at[:, :, idx].set(sub_rec)
 
     n_tiles = n_tot // rpt
-    kstate = (jnp.asarray(new_state).T.reshape(8, n_tiles, rpt)
-              .transpose(1, 0, 2))
-    return kstate, jnp.asarray(recs)
+    state_flat = jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot)
+    sub_state = jnp.concatenate(
+        [final[:, 0:6].T, s_rec[-1][None, :],
+         jnp.zeros((1, final.shape[0]), jnp.float32)], axis=0)  # (8, m)
+    state_flat = state_flat.at[:, idx].set(sub_state)
+    state_flat = state_flat.at[7, :].set(0.0)
+    kstate = state_flat.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
+    return kstate, recs
