@@ -49,7 +49,7 @@ def main():
     p.add_argument("--grid-n", type=int, default=128)
     p.add_argument("--record-stride", type=int, default=10)
     p.add_argument("--freq", type=float, default=75e6)
-    p.add_argument("--repeat", type=int, default=2)
+    p.add_argument("--repeat", type=int, default=1)
     p.add_argument("--no-crosssections", action="store_true")
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--rpt", type=int, default=512,

@@ -312,26 +312,28 @@ def _rerun_escaped(assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
 
     parts = [run_chunk(idx_all[i:i + 16384])
              for i in range(0, len(idx_all), 16384)]
-    idx = jnp.asarray(idx_all)
-    r_rec = jnp.concatenate([p[0] for p in parts], axis=1)  # (rps, m, 3)
-    s_rec = jnp.concatenate([p[1] for p in parts], axis=1)
-    final = jnp.concatenate([p[2] for p in parts], axis=0)
-    v = jnp.concatenate([p[3] for p in parts], axis=1)      # (rps, m, 3)
+    idx = idx_all
+    # host-side merge: device-side column scatters of this size reliably
+    # crash the axon TPU worker ("kernel fault"), so the merge pays the
+    # tunnel transfer instead
+    r_rec = np.concatenate([np.asarray(p[0]) for p in parts], axis=1)
+    s_rec = np.concatenate([np.asarray(p[1]) for p in parts], axis=1)
+    final = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
+    v = np.concatenate([np.asarray(p[3]) for p in parts], axis=1)
 
-    # device-side merge: one column scatter per row group (the previous
-    # host merge cost ~2s/segment in tunnel transfers alone)
-    sub_rec = jnp.concatenate(
-        [jnp.transpose(r_rec, (0, 2, 1)), s_rec[:, None, :],
-         jnp.transpose(v, (0, 2, 1)),
-         jnp.zeros_like(s_rec)[:, None, :]], axis=1)        # (rps, 8, m)
-    recs = jnp.asarray(recs).at[:, :, idx].set(sub_rec)
+    recs = np.array(recs)
+    recs[:, 0:3, idx] = r_rec.transpose(0, 2, 1)
+    recs[:, 3, idx] = s_rec
+    recs[:, 4:7, idx] = v.transpose(0, 2, 1)
+
+    new_state = np.array(
+        jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T)
+    new_state[idx, 0:3] = final[:, 0:3]
+    new_state[idx, 3:6] = final[:, 3:6]
+    new_state[idx, 6] = s_rec[-1]
+    new_state[:, 7] = 0.0
 
     n_tiles = n_tot // rpt
-    state_flat = jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot)
-    sub_state = jnp.concatenate(
-        [final[:, 0:6].T, s_rec[-1][None, :],
-         jnp.zeros((1, final.shape[0]), jnp.float32)], axis=0)  # (8, m)
-    state_flat = state_flat.at[:, idx].set(sub_state)
-    state_flat = state_flat.at[7, :].set(0.0)
-    kstate = state_flat.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
-    return kstate, recs
+    kstate = (jnp.asarray(new_state).T.reshape(8, n_tiles, rpt)
+              .transpose(1, 0, 2))
+    return kstate, jnp.asarray(recs)
