@@ -29,6 +29,17 @@ Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
 This is the TPU-native replacement for the reference's per-step CUDA kernel
 launches (gpu_raytrace.py:383-398): the step loop never leaves the chip, and
 LOS field sampling rides along in the same kernel.
+
+Round-2 optimization targets (measured on the canonical 75 MHz workload):
+~23% of rays end up as chaotic post-reflection grazing fans too sparse for
+any fixed-count spatial binning; they fall back to the XLA path every
+segment and dominate end-to-end time (fallback fixed costs, not ray-step
+math). Plan: (a) one-shot fixed-horizon XLA traces for the stable cohort
+instead of per-segment re-runs; (b) masked split transfer updates so
+fallback records feed the streaming consumer directly without the
+records round-trip through the ~30 MB/s tunnel (device column scatters
+of that size currently crash the axon TPU worker); (c) a sparse-ray
+kernel variant (per-ray neighborhood DMA) if (a)+(b) are not enough.
 """
 
 from __future__ import annotations
