@@ -138,8 +138,11 @@ def iter_trace_segments(
     'escaped' counts.
     """
     n_rays = start.shape[0]
-    eighth = max(1, n_rays // 8)
-    rpt = int(min(rpt, max(128, 1 << (eighth.bit_length() - 1))))
+    # keep >= ~32 tiles so small images still bin tightly (a 64^2 image
+    # with 512-ray tiles measured 67% brick escapes; 128-ray tiles bin
+    # ~2x tighter per axis), floor 128 for MXU/VPU lane efficiency
+    per32 = max(1, n_rays // 32)
+    rpt = int(min(rpt, max(128, 1 << (per32.bit_length() - 1))))
     n_tot = rpt
     while n_tot < n_rays:
         n_tot *= 2
