@@ -7,7 +7,10 @@ production configuration of script/resample_with_ray_tracing.py:154-158).
 vs_baseline is measured against the BASELINE.json north-star rate:
 <1 s/frequency on v5e-8 => 256^2*5000/8 ~= 4.1e7 ray-steps/s/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+Per-repeat and per-stage timings (segments vs tails) go to stderr so the
+headline number is attributable (reference bench discipline:
+bench_raytrace.py:44-78 — best-of-N with explicit sync).
 
 Workload construction mirrors the reference bench (bench_raytrace.py:16-41):
 synthetic Gaussian-density cube, jittered near-vertical rays.
@@ -15,6 +18,7 @@ synthetic Gaussian-density cube, jittered near-vertical rays.
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -49,7 +53,7 @@ def main():
     p.add_argument("--grid-n", type=int, default=128)
     p.add_argument("--record-stride", type=int, default=10)
     p.add_argument("--freq", type=float, default=75e6)
-    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--repeat", type=int, default=3)
     p.add_argument("--no-crosssections", action="store_true")
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--rpt", type=int, default=512,
@@ -68,22 +72,34 @@ def main():
     b = np.ones_like(ne)
     start, kdir = make_rays(args.n_pix)
 
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     if args.tracer == "pallas":
-        from raytracinggrff_tpu.tracer_pallas import iter_trace_segments
+        from raytracinggrff_tpu.tracer_pallas import (iter_tail_traces,
+                                                      iter_trace_segments)
 
         def run():
-            # consume the streaming interface the pipeline uses; forcing
-            # each segment's records resident is the honest completion
-            # point (block_until_ready is unreliable on axon)
-            last = None
-            for recs, perm in iter_trace_segments(
+            # consume the streaming interface the pipeline uses, tails
+            # included; forcing each block resident is the honest
+            # completion point (block_until_ready is unreliable on axon)
+            stats = {}
+            t0 = time.perf_counter()
+            for recs in iter_trace_segments(
                     omega_pe, ne, te, b, grid, args.freq, start, kdir,
                     6e-3, args.n_steps, args.record_stride,
                     trace_crosssections=not args.no_crosssections,
                     perturb_ratio=2.0, rpt=args.rpt,
-                    seg_records=args.seg_records):
-                last = recs
-            return float(last[-1, 0, 0])
+                    seg_records=args.seg_records, stats=stats):
+                float(recs[-1, 0, 0])
+            t_seg = time.perf_counter() - t0
+            for _, _, recs_t in iter_tail_traces(
+                    stats, omega_pe, ne, te, b, grid, 6e-3,
+                    args.record_stride, not args.no_crosssections, 2.0):
+                float(recs_t[-1, 0, 0])
+            t_tail = time.perf_counter() - t0 - t_seg
+            note(f"  segments {t_seg:.2f}s  tails {t_tail:.2f}s  "
+                 f"escaped {stats.get('escaped', 0)} rays")
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)
@@ -98,15 +114,18 @@ def main():
             # force real completion (block_until_ready is unreliable on the
             # axon platform)
             float(res.r_record[-1, 0, 0])
-            return res
 
+    t0 = time.perf_counter()
     run()  # compile + warmup
-    best = None
-    for _ in range(args.repeat):
+    note(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    times = []
+    for i in range(args.repeat):
         t0 = time.perf_counter()
         run()
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
+        times.append(dt)
+        note(f"repeat {i}: {dt:.2f}s")
+    best = float(np.median(times))
 
     n_chips = 1  # bench runs single-chip; metric is per chip
     ray_steps = args.n_pix * args.n_pix * args.n_steps

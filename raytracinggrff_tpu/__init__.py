@@ -15,7 +15,7 @@ from .grids import UniformGrid, variable_z_grid, linear_z_grid
 from .tracer import (TraceResult, trace_rays, trace_rays_from_cube,
                      pack_trace_table)
 from .tracer_pallas import (PallasTraceResult, trace_rays_pallas,
-                            iter_trace_segments)
+                            iter_trace_segments, iter_tail_traces)
 from .sampler import (LosSamples, sample_model_with_rays,
                       sample_model_with_rays_arrays, pack_model_table)
 from .grff import get_mw, get_mw_slice, grff_transfer, tb_from_sfu
@@ -43,6 +43,7 @@ __all__ = [
     "UniformGrid", "variable_z_grid", "linear_z_grid",
     "TraceResult", "trace_rays", "trace_rays_from_cube", "pack_trace_table",
     "PallasTraceResult", "trace_rays_pallas", "iter_trace_segments",
+    "iter_tail_traces",
     "LosSamples", "sample_model_with_rays", "sample_model_with_rays_arrays",
     "pack_model_table",
     "get_mw", "get_mw_slice", "grff_transfer", "tb_from_sfu",

@@ -4,11 +4,11 @@ Why this exists: XLA:TPU lowers random gathers to a serial path measured at
 ~0.1-0.5 GB/s on v5e, making the gather-based tracer (tracer.py) ~200x slower
 than the compute roofline. This kernel eliminates gathers entirely:
 
-  * Rays are spatially binned into tiles of `rpt` rays (Morton-sorted in
-    (y,z) by the driver between segments). Each tile's kernel instance keeps
-    a brick of the omega_pe(+gradients) cube in VMEM covering 8 nodes in y,
-    8 nodes in z, and the FULL x axis, re-DMA-ing it from HBM when the
-    tile's (y,z) bounding box nears the brick edge. The x axis rides the
+  * Rays are spatially binned into tiles of `rpt` rays (kd-median binned
+    by the driver between segments). Each tile's kernel instance keeps
+    a brick of the omega_pe(+gradients) cube in VMEM covering by nodes in
+    y, bz nodes in z, and the FULL x axis, re-DMA-ing it from HBM when the
+    tile's bounding box nears the brick edge. The x axis rides the
     lane dimension un-sliced (Mosaic requires lane-dim DMA slices to be
     128-aligned), so x motion never needs reloads or escapes.
   * Trilinear interpolation is evaluated gather-free as three separable
@@ -32,10 +32,11 @@ pipeline nan_to_nums them): frozen out-of-cube rays, cumulative
 cross-section record, cross-section perturbed rays re-launched each step
 from the central ray's previous state (build_rays.py:204-239).
 
-Escape handling: rays whose (y,z) leave their tile's brick while still
-inside the cube are frozen and flagged in the state's `esc` row; the driver
-re-runs exactly those rays for the affected segment on the XLA reference
-path and merges the results (driver: tracer_pallas.py).
+Escape handling: rays that leave their tile's brick while still inside the
+cube are frozen and flagged in the state's `esc` row; the driver removes
+them from the fast path permanently and finishes them with one one-shot XLA
+trace over their remaining horizon (driver: tracer_pallas.py). Tiles whose
+rays are all frozen or out-of-cube skip the whole step loop.
 """
 
 from __future__ import annotations
@@ -68,27 +69,9 @@ def _tent_weights(l, n_rows, rows):
     return jnp.maximum(0.0, 1.0 - jnp.abs(l - jj))
 
 
-def _brick_sample(win_ref, lx, ly, lz, n_rows):
-    """Trilinear sample of a (By, Bz*C, Bx) x-window at local coords
-    (1, R) each. Returns NCH (1, R) channel rows; out-of-window rows
-    give 0."""
-    wx = _tent_weights(lx, n_rows, BX)           # (BX, R)
-    wy = _tent_weights(ly, n_rows, BY)           # (BY, R)
-    wz = _tent_weights(lz, n_rows, BZ)           # (BZ, R)
-
-    a = win_ref[:].reshape(BY * BZC, BX)         # (By*Bz*C, Bx)
-    t1 = jax.lax.dot_general(                    # (By*Bz*C, R)
-        a, wx, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    t1 = t1.reshape(BY, BZC, n_rows)             # (By, Bz*C, R)
-    t2 = jnp.sum(t1 * wy[:, None, :], axis=0)    # (Bz*C, R)
-    t2 = t2.reshape(BZ, NCH, n_rows)             # fused axis is z-major
-    t3 = jnp.sum(t2 * wz[:, None, :], axis=0)    # (C, R)
-    return t3[0:1], t3[1:2], t3[2:3], t3[3:4]
-
-
 def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
-                 dt, perturb_ratio, trace_crosssections, nx_pad):
+                 dt, perturb_ratio, trace_crosssections, nx_pad,
+                 bx=BX, by=BY, bz=BZ):
     nx, ny, nz = grid.shape
     inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
     x0, y0, z0 = (np.float32(v) for v in grid.origin)
@@ -96,9 +79,28 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     dt = np.float32(dt)
     c_r = np.float32(C_R)
     pr = np.float32(perturb_ratio)
+    bzc = bz * NCH
 
     def to_frac(px, py, pz):
         return ((px - x0) * inv_dx, (py - y0) * inv_dy, (pz - z0) * inv_dz)
+
+    def brick_sample(win_ref, lx, ly, lz, n_rows):
+        """Trilinear sample of a (by, bz*C, bx) x-window at local coords
+        (1, R) each. Returns NCH (1, R) channel rows; out-of-window rows
+        give 0."""
+        wx = _tent_weights(lx, n_rows, bx)           # (bx, R)
+        wy = _tent_weights(ly, n_rows, by)           # (by, R)
+        wz = _tent_weights(lz, n_rows, bz)           # (bz, R)
+
+        a = win_ref[:].reshape(by * bzc, bx)         # (by*bz*C, bx)
+        t1 = jax.lax.dot_general(                    # (by*bz*C, R)
+            a, wx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t1 = t1.reshape(by, bzc, n_rows)             # (by, bz*C, R)
+        t2 = jnp.sum(t1 * wy[:, None, :], axis=0)    # (bz*C, R)
+        t2 = t2.reshape(bz, NCH, n_rows)             # fused axis is z-major
+        t3 = jnp.sum(t2 * wz[:, None, :], axis=0)    # (C, R)
+        return t3[0:1], t3[1:2], t3[2:3], t3[3:4]
 
     def kernel(tcube, scube, state_in, state_out, rec_out,
                tbrick, sbrick, twin, swin, orig_ref, sem):
@@ -140,9 +142,9 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             lo_y, hi_y = ymin - oy, ymax - oy
             lo_z, hi_z = zmin - oz, zmax - oz
             need = any_active & (
-                (lo_x < 1.0) | (hi_x > BX - 2.0)
-                | (lo_y < 1.0) | (hi_y > BY - 2.0)
-                | (lo_z < 1.0) | (hi_z > BZ - 2.0))
+                (lo_x < 1.0) | (hi_x > bx - 2.0)
+                | (lo_y < 1.0) | (hi_y > by - 2.0)
+                | (lo_z < 1.0) | (hi_z > bz - 2.0))
 
             @pl.when(need)
             def _():
@@ -152,24 +154,24 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                     return jnp.clip((c - bw / 2 + 0.5).astype(jnp.int32),
                                     0, n - bw)
 
-                nox = center(xmin, xmax, nx, BX)
-                noy = center(ymin, ymax, ny, BY)
-                noz = center(zmin, zmax, nz, BZ)
+                nox = center(xmin, xmax, nx, bx)
+                noy = center(ymin, ymax, ny, by)
+                noz = center(zmin, zmax, nz, bz)
                 orig_ref[0] = nox
                 orig_ref[1] = noy
                 orig_ref[2] = noz
                 cp1 = pltpu.make_async_copy(
-                    tcube.at[pl.ds(noy, BY), pl.ds(noz * NCH, BZC), :],
+                    tcube.at[pl.ds(noy, by), pl.ds(noz * NCH, bzc), :],
                     tbrick, sem)
                 cp1.start()
                 cp1.wait()
                 cp2 = pltpu.make_async_copy(
-                    scube.at[pl.ds(noy, BY), pl.ds(noz * NCH, BZC), :],
+                    scube.at[pl.ds(noy, by), pl.ds(noz * NCH, bzc), :],
                     sbrick, sem)
                 cp2.start()
                 cp2.wait()
-                twin[:] = pltpu.roll(tbrick[:], -nox, axis=2)[:, :, :BX]
-                swin[:] = pltpu.roll(sbrick[:], -nox, axis=2)[:, :, :BX]
+                twin[:] = pltpu.roll(tbrick[:], -nox, axis=2)[:, :, :bx]
+                swin[:] = pltpu.roll(sbrick[:], -nox, axis=2)[:, :, :bx]
 
         def local_xyz(fx, fy, fz):
             ox, oy, oz = origins_f()
@@ -181,11 +183,11 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             fx, fy, fz = to_frac(px, py, pz)
             lx, ly, lz = local_xyz(fx, fy, fz)
             inb = inbounds(fx, fy, fz)
-            in_brick = ((lx >= 0) & (lx <= BX - 1) & (ly >= 0)
-                        & (ly <= BY - 1) & (lz >= 0) & (lz <= BZ - 1))
+            in_brick = ((lx >= 0) & (lx <= bx - 1) & (ly >= 0)
+                        & (ly <= by - 1) & (lz >= 0) & (lz <= bz - 1))
             esc_new = esc_flags | (inb & ~in_brick)
 
-            wpe, gx, gy, gz = _brick_sample(twin, lx, ly, lz, n_rows)
+            wpe, gx, gy, gz = brick_sample(twin, lx, ly, lz, n_rows)
             om = jnp.sqrt(jnp.maximum(
                 wpe * wpe + kx * kx + ky * ky + kz * kz, 0.0))
             ok = inb & in_brick & (om > 0)
@@ -285,10 +287,10 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             px, py, pz, kx, ky, kz, cums, esc = carry
             fx, fy, fz = to_frac(px, py, pz)
             lx, ly, lz = local_xyz(fx, fy, fz)
-            ne_v, te_v, b_v, _ = _brick_sample(swin, lx, ly, lz, rpt)
+            ne_v, te_v, b_v, _ = brick_sample(swin, lx, ly, lz, rpt)
             inb = inbounds(fx, fy, fz)
-            in_brick = ((lx >= 0) & (lx <= BX - 1) & (ly >= 0)
-                        & (ly <= BY - 1) & (lz >= 0) & (lz <= BZ - 1))
+            in_brick = ((lx >= 0) & (lx <= bx - 1) & (ly >= 0)
+                        & (ly <= by - 1) & (lz >= 0) & (lz <= bz - 1))
             good = inb & in_brick
             ne_v = jnp.where(good, ne_v, np.float32(FILL_NE))
             te_v = jnp.where(good, te_v, np.float32(FILL_TE))
@@ -318,17 +320,44 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                 carry = step(carry, check_reload=(j == 0))
             return record(b_idx, carry)
 
-        carry = (state[0:1], state[1:2], state[2:3], state[3:4],
-                 state[4:5], state[5:6], state[6:7], state[7:8])
-        if first_block == stride:
-            carry = jax.lax.fori_loop(
-                0, rps, lambda b, c: run_block(c, stride, b), carry)
-        else:
-            carry = run_block(carry, first_block, 0)
-            if rps > 1:
+        # Tiles whose rays are all frozen (escaped/tailed) or out-of-cube
+        # are skipped outright: the driver parks such rays into trailing
+        # bins, so kernel work shrinks as rays finish or leave the fast
+        # path. Skipped tiles pass state through and emit inert records
+        # (frozen positions, S=0, fill-value fields) that downstream
+        # consumers treat as no-ops.
+        fx0, fy0, fz0 = to_frac(state[0:1], state[1:2], state[2:3])
+        has_active = jnp.any(inbounds(fx0, fy0, fz0) & (state[7:8] < 0.5))
+
+        @pl.when(has_active)
+        def _():
+            carry = (state[0:1], state[1:2], state[2:3], state[3:4],
+                     state[4:5], state[5:6], state[6:7], state[7:8])
+            if first_block == stride:
                 carry = jax.lax.fori_loop(
-                    1, rps, lambda b, c: run_block(c, stride, b), carry)
-        state_out[0] = jnp.concatenate(carry, axis=0)
+                    0, rps, lambda b, c: run_block(c, stride, b), carry)
+            else:
+                carry = run_block(carry, first_block, 0)
+                if rps > 1:
+                    carry = jax.lax.fori_loop(
+                        1, rps, lambda b, c: run_block(c, stride, b), carry)
+            state_out[0] = jnp.concatenate(carry, axis=0)
+
+        @pl.when(jnp.logical_not(has_active))
+        def _():
+            state_out[0] = state
+            rec = jnp.concatenate([
+                state[0:3], jnp.zeros((1, rpt), jnp.float32),
+                jnp.full((1, rpt), np.float32(FILL_NE)),
+                jnp.full((1, rpt), np.float32(FILL_TE)),
+                jnp.full((1, rpt), np.float32(FILL_B)),
+                jnp.zeros((1, rpt), jnp.float32)], axis=0)
+
+            def wr(b, c):
+                rec_out[0, pl.ds(b, 1)] = rec[None]
+                return c
+
+            jax.lax.fori_loop(0, rps, wr, 0)
 
     return kernel
 
@@ -341,20 +370,27 @@ class PallasSegmentResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "rpt", "rps", "stride", "first_block", "dt",
-                     "perturb_ratio", "trace_crosssections", "interpret"))
+                     "perturb_ratio", "trace_crosssections", "interpret",
+                     "bx", "by", "bz"))
 def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
                       stride, first_block, dt, perturb_ratio,
-                      trace_crosssections=True, interpret=False):
+                      trace_crosssections=True, interpret=False,
+                      bx=BX, by=BY, bz=BZ):
     """Run one trace segment: `rps` record-blocks over all ray tiles.
 
     tcube/scube: (ny, nz*4, nx) fused-layout cubes (see pack_cube_zc).
     state: (n_tiles, 8, rpt) rows [rx,ry,rz,kx,ky,kz,cumS,escaped].
     Records rows: [x, y, z, S, ne, te, b, pad].
+    bx/by/bz select the brick size: the default fits tight ray bundles
+    cheaply (the x-contraction matmul costs by*bz*NCH*bx MACs per ray per
+    sample); larger bricks track spatially diffuse bundles at higher cost.
     """
     n_tiles = state.shape[0]
     nx_pad = tcube.shape[2]
+    bzc = bz * NCH
     kernel = _make_kernel(grid, rpt, rps, stride, first_block, float(dt),
-                          float(perturb_ratio), trace_crosssections, nx_pad)
+                          float(perturb_ratio), trace_crosssections, nx_pad,
+                          bx, by, bz)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -375,10 +411,10 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
             jax.ShapeDtypeStruct((n_tiles, rps, 8, rpt), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BY, BZC, nx_pad), jnp.float32),  # full-x staging
-            pltpu.VMEM((BY, BZC, nx_pad), jnp.float32),
-            pltpu.VMEM((BY, BZC, BX), jnp.float32),      # x-windows
-            pltpu.VMEM((BY, BZC, BX), jnp.float32),
+            pltpu.VMEM((by, bzc, nx_pad), jnp.float32),  # full-x staging
+            pltpu.VMEM((by, bzc, nx_pad), jnp.float32),
+            pltpu.VMEM((by, bzc, bx), jnp.float32),      # x-windows
+            pltpu.VMEM((by, bzc, bx), jnp.float32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -402,20 +438,3 @@ def pack_cube_zc(*channels):
     if nx_pad != nx:
         out = jnp.pad(out, ((0, 0), (0, 0), (0, nx_pad - nx)))
     return out
-
-
-def morton_keys(pos, grid: UniformGrid, cell_cells=2.0):
-    """3D Morton (z-order) bin keys (int32) from positions (n, 3)."""
-    f = ((pos - jnp.array(grid.origin, jnp.float32))
-         * jnp.array(grid.inv_steps, jnp.float32))
-    c = jnp.clip((f / cell_cells).astype(jnp.int32), 0, 1023)
-
-    def spread(v):
-        v = (v | (v << 16)) & 0x030000FF
-        v = (v | (v << 8)) & 0x0300F00F
-        v = (v | (v << 4)) & 0x030C30C3
-        v = (v | (v << 2)) & 0x09249249
-        return v
-
-    return (spread(c[:, 0]) | (spread(c[:, 1]) << 1)
-            | (spread(c[:, 2]) << 2))

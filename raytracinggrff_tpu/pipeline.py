@@ -136,7 +136,8 @@ class RayEmissionConfig:
 
 def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
                              cubes=None, out_path=None, save_plots=False,
-                             verbose=True, mesh=None, **overrides):
+                             verbose=True, mesh=None, consider_beam=False,
+                             beam_fwhm=0.2, patch_nan=False, **overrides):
     """Full trace -> sample -> transfer pipeline.
 
     Either model_path (a MAS directory) or precomputed `cubes`
@@ -144,6 +145,12 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     dict: emission_cube (N,N,Nf) T_b in K, emission_polVI_cube,
     frequencies_Hz, x_coords/y_coords in meters — plus the sampled LOS
     diagnostics (ref result contract: resample_with_ray_tracing.py:533-541).
+
+    consider_beam/beam_fwhm convolve the saved plot with a Gaussian beam
+    (ref: resample_with_ray_tracing.py:618-639). patch_nan fills NaN pixels
+    with nearest-finite-neighbor means before saving (the reference exports
+    patch_nan_emission_map for exactly this but leaves calling it to the
+    user, raytracingGRFF/util.py:6-77).
     """
     cfg = config or RayEmissionConfig()
     if overrides:
@@ -175,12 +182,11 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     pixel_size_cm = (2 * cfg.x_fov) / cfg.n_pix * R_SUN_CM
     pixel_area_cm2 = pixel_size_cm * pixel_size_cm
 
-    pallas_perm = None
     sampled = None
     if backend == "pallas":
-        flux_o, flux_x, pallas_perm = _streamed_trace_transfer(
+        flux_o, flux_x = _streamed_trace_transfer(
             cubes, grid, cfg, start, kdir, frequencies_hz,
-            pixel_area_cm2, log, verbose)
+            pixel_area_cm2, log, verbose, mesh=mesh)
     else:
         trace_table = pack_trace_table(cubes["omega_pe"], grid)
         model_table = pack_model_table(cubes["ne"], cubes["te"],
@@ -216,14 +222,15 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
 
     tb_h = np.asarray(tb, np.float64)
     pol_h = np.asarray(pol_vi, np.float64)
-    if pallas_perm is not None:
-        inv = np.empty_like(pallas_perm)
-        inv[pallas_perm] = np.arange(len(pallas_perm))
-        tb_h = tb_h[inv][:n_rays]
-        pol_h = pol_h[inv][:n_rays]
-
     emission_cube = tb_h.reshape(cfg.n_pix, cfg.n_pix, cfg.nfreq)
     pol_cube = pol_h.reshape(cfg.n_pix, cfg.n_pix, cfg.nfreq)
+    if patch_nan:
+        from .utils.nanpatch import patch_nan_emission_map
+        failed = emission_cube == 0.0
+        emission_cube[failed] = np.nan
+        emission_cube = patch_nan_emission_map(emission_cube)
+        pol_cube[failed] = np.nan
+        pol_cube = patch_nan_emission_map(pol_cube)
 
     result = {
         "emission_cube": emission_cube,
@@ -239,7 +246,8 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     result["_sampled"] = sampled
     if save_plots and out_path:
         from .utils.plotting import save_emission_plot, save_center_pixel_plot
-        save_emission_plot(result, cfg.n_pix, cfg.x_fov, out_path)
+        save_emission_plot(result, cfg.n_pix, cfg.x_fov, out_path,
+                           consider_beam=consider_beam, beam_fwhm=beam_fwhm)
         if sampled is not None:
             # per-ray LOS diagnostics exist only on the XLA (record) path;
             # the streamed pallas path never materializes them
@@ -248,14 +256,16 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
 
 
 def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
-                             pixel_area_cm2, log, verbose):
+                             pixel_area_cm2, log, verbose, mesh=None):
     """Pallas path: stream trace segments straight into the radiative-
-    transfer carry on device. Records never cross the host boundary; only
-    the per-segment carry (flux/tau + previous-valid-position, all
-    O(n_rays) small) is re-permuted between segment binnings.
-    Returns (flux_o, flux_x, final_perm)."""
+    transfer carry on device. Records arrive in original ray order and
+    never cross the host boundary; rays that left the fast path are
+    finished by one-shot XLA tail traces whose records update gathered
+    carry rows on device. With `mesh`, ray tiles run under shard_map over
+    the 'rays' axis and the transfer carry is sharded (rays x freq).
+    Returns host (flux_o, flux_x), (n_rays, Nf)."""
     from .grff.transfer import make_voxel_update, transfer_carry_init
-    from .tracer_pallas import iter_trace_segments
+    from .tracer_pallas import iter_tail_traces, iter_trace_segments
 
     freqs = jnp.asarray(frequencies_hz, jnp.float32)
     nf = freqs.shape[0]
@@ -286,37 +296,59 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
     stats = {}
     carry = None
     prev_pos = None
-    inv_prev = None
-    last_perm = None
-    n_seg = 0
-    for recs, perm in iter_trace_segments(
+    for recs in iter_trace_segments(
             cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"], grid,
             cfg.freq_hz, start, kdir, cfg.dt, cfg.n_steps,
             cfg.record_stride, trace_crosssections=True,
             perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
             seg_records=cfg.seg_records, interpret=cfg.pallas_interpret,
-            verbose=verbose, stats=stats):
-        n_seg += 1
-        n_tot = perm.shape[0]
+            verbose=verbose, stats=stats, mesh=mesh):
         if carry is None:
+            n_tot = recs.shape[2]
             carry = transfer_carry_init(n_tot, int(nf))
             start_b = np.full((n_tot, 3), grid.x0 - 1e6, np.float32)
             start_b[:start.shape[0]] = start
-            prev_pos = jnp.asarray(start_b[perm])
-        elif perm is not last_perm:   # identical object => binning unchanged
-            rel = jnp.asarray(inv_prev[perm])
-            carry = tuple(c[rel] for c in carry)
-            prev_pos = prev_pos[rel]
+            prev_pos = jnp.asarray(start_b)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                n_fs = int(mesh.shape.get("freq", 1))
+                fax = "freq" if n_fs > 1 and int(nf) % n_fs == 0 else None
+                carry = tuple(
+                    jax.device_put(c, NamedSharding(mesh, P("rays", fax)))
+                    for c in carry)
+                prev_pos = jax.device_put(
+                    prev_pos, NamedSharding(mesh, P("rays", None)))
         carry, prev_pos = stream_seg(carry, prev_pos, recs)
-        inv_prev = np.empty_like(perm)
-        inv_prev[perm] = np.arange(n_tot)
-        last_perm = perm
 
+    # One-shot tails: a tailed ray's carry row froze at its escape (its
+    # later segment records are inert), so gathering the row now and
+    # replaying the tail records against it completes that ray exactly.
+    flux_o = flux_x = None
+    for ids_c, _, recs_t in iter_tail_traces(
+            stats, cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"],
+            grid, cfg.dt, cfg.record_stride, True, cfg.perturb_ratio,
+            mesh=mesh):
+        bucket = recs_t.shape[2]
+        rows = np.concatenate(
+            [ids_c, np.zeros(bucket - len(ids_c), ids_c.dtype)])
+        rows = jnp.asarray(rows)
+        sub = tuple(c[rows] for c in carry)
+        sub, _ = stream_seg(sub, prev_pos[rows], recs_t)
+        if flux_o is None:
+            flux_o = np.asarray(carry[0], np.float64)
+            flux_x = np.asarray(carry[1], np.float64)
+        flux_o[ids_c] = np.asarray(sub[0])[:len(ids_c)]
+        flux_x[ids_c] = np.asarray(sub[1])[:len(ids_c)]
+
+    if flux_o is None:
+        flux_o = np.asarray(carry[0], np.float64)
+        flux_x = np.asarray(carry[1], np.float64)
     if verbose and stats.get("escaped"):
-        frac = stats["escaped"] / max(1, start.shape[0] * n_seg)
-        log(f"  brick escape fraction: {frac:.4f} "
-            f"(re-run on reference path)")
-    return carry[0], carry[1], last_perm
+        frac = stats["escaped"] / max(1, start.shape[0])
+        log(f"  fast-path escape fraction: {frac:.4f} "
+            f"(finished by one-shot XLA tails)")
+    n_rays = start.shape[0]
+    return flux_o[:n_rays], flux_x[:n_rays]
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-"""Driver for the Pallas brick tracer: binning, segments, escape fallback.
+"""Driver for the Pallas brick tracer: binning, segments, one-shot tails.
 
 Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
 
@@ -11,51 +11,51 @@ Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
   2. Each segment advances `first_block + (rps-1)*stride` RK4 steps and
      yields `rps` records per ray (positions, cumulative S, Ne/Te/|B|),
      reproducing the reference's record schedule (a record after step i
-     whenever i % stride == 0, build_rays.py:241-244).
-  3. Rays that still out-run their tile's brick (caustic divergence) are
-     frozen and flagged by the kernel; the driver re-runs exactly those
-     rays for the segment on the XLA reference tracer (identical math) and
-     merges. Escape subsets are padded to power-of-two buckets so the
-     fallback compiles O(log n) distinct shapes, not one per segment.
-  4. Consumers choose how records flow:
-       * iter_trace_segments — the streaming interface: yields per-segment
-         device records in that segment's bin order plus the permutation;
-         the pipeline chains them straight into the radiative-transfer
-         carry without bulk records ever crossing the ~30 MB/s
-         device<->host tunnel (see pipeline.run_ray_tracing_emission).
-       * trace_rays_pallas — assembles host records in original ray order
-         (tests, benchmark, reference-shaped API).
+     whenever i % stride == 0, build_rays.py:241-244). Records are
+     re-ordered to ORIGINAL ray order on device before they are yielded,
+     so consumers never deal with bin permutations.
+  3. Rays that out-run their tile's brick (chaotic post-reflection fans
+     too sparse for any fixed-count spatial binning) leave the fast path
+     permanently: they are frozen in the kernel (the driver parks them in
+     trailing bins, which the kernel skips wholesale) and captured as
+     "tails" — (seg-start state, record offset) pairs. After the segmented
+     sweep, iter_tail_traces integrates every tail ONCE on the XLA
+     reference tracer for its whole remaining horizon. This replaces the
+     round-1 scheme (re-run escapees per segment, merge records through
+     the ~30 MB/s host tunnel every segment): each escaped ray now costs
+     one XLA trace and zero host record traffic.
+  4. Consumers:
+       * iter_trace_segments + iter_tail_traces — the streaming interface:
+         per-segment device records in original ray order chain straight
+         into the radiative-transfer carry without bulk records ever
+         crossing the host tunnel (see pipeline.run_ray_tracing_emission).
+       * trace_rays_pallas — assembles host records (tests, benchmark,
+         reference-shaped API).
+
+A segment record with S == 0 is inert by construction: the transfer update
+masks on S > 0 and the frozen position advances nothing (ds = 0), so tailed
+rays' post-escape records vanish from the stream without scatter ops.
 
 This is the TPU-native replacement for the reference's per-step CUDA kernel
 launches (gpu_raytrace.py:383-398): the step loop never leaves the chip, and
 LOS field sampling rides along in the same kernel.
-
-Round-2 optimization targets (measured on the canonical 75 MHz workload):
-~23% of rays end up as chaotic post-reflection grazing fans too sparse for
-any fixed-count spatial binning; they fall back to the XLA path every
-segment and dominate end-to-end time (fallback fixed costs, not ray-step
-math). Plan: (a) one-shot fixed-horizon XLA traces for the stable cohort
-instead of per-segment re-runs; (b) masked split transfer updates so
-fallback records feed the streaming consumer directly without the
-records round-trip through the ~30 MB/s tunnel (device column scatters
-of that size currently crash the axon TPU worker); (c) a sparse-ray
-kernel variant (per-ray neighborhood DMA) if (a)+(b) are not enough.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-import functools
-
 from .grids import UniformGrid
-from .ops.pallas_trace import pack_cube_zc, run_trace_segment
+from .ops.pallas_trace import (BX, BY, BZ, PallasSegmentResult,
+                               pack_cube_zc, run_trace_segment)
 from .ops.trilinear import pack_fields, trilinear_packed
-from .tracer import gradient_cubes, init_k_vectors, trace_rays
+from .tracer import gradient_cubes, init_k_vectors, pack_trace_table, \
+    trace_rays
 from .constants import FILL_B, FILL_NE, FILL_TE
 
 
@@ -73,6 +73,39 @@ def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
     return tcube, scube, k0
 
 
+@functools.partial(jax.jit, static_argnames=("rps", "n_tot"))
+def _assemble_records(rec_tiles, inv_cols, tail_mask, rps, n_tot):
+    """Kernel record tiles -> (rps, 8, n_tot) in ORIGINAL ray order, with
+    the S row zeroed for tailed rays (their segment records are invalid
+    from the escape segment onward; the one-shot tail supplies them)."""
+    recs = rec_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+    recs = jnp.take(recs, inv_cols, axis=2)
+    s = jnp.where(tail_mask[None, :], 0.0, recs[:, 3, :])
+    return jnp.concatenate([recs[:, 0:3], s[:, None, :], recs[:, 4:]],
+                           axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
+def _pre_kernel(state, local, pre, n_tiles, rpt):
+    """Permute rows to the new binning and shape (n_tot, 8) state into the
+    kernel's (n_tiles, 8, rpt) tile layout, pre-freezing parked rays.
+    One jit call instead of several eager dispatches per segment."""
+    if local is not None:
+        state = state[local]
+    kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
+    if pre is not None:
+        kstate = kstate.at[:, 7, :].set(pre.reshape(n_tiles, rpt))
+    return state, kstate
+
+
+@jax.jit
+def _post_kernel(kstate):
+    """Tile layout back to (n_tot, 8) rows with the esc row cleared."""
+    n_tot = kstate.shape[0] * kstate.shape[2]
+    state = jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T
+    return state.at[:, 7].set(0.0)
+
+
 class PallasTraceResult(NamedTuple):
     r_record: np.ndarray   # (n_records, n_rays, 3)
     s_record: np.ndarray   # (n_records, n_rays) cumulative S
@@ -80,6 +113,14 @@ class PallasTraceResult(NamedTuple):
     te: np.ndarray
     b: np.ndarray
     escape_fraction: float
+
+
+class TailGroup(NamedTuple):
+    """Rays that left the fast path at one segment: one-shot XLA work."""
+    orig_ids: np.ndarray    # (n,) original ray indices
+    state: np.ndarray       # (n, 8) seg-start rows [r, k, cumS, 0]
+    rec_base: int           # records already emitted before the segment
+    first_block: int        # steps before the segment's first record
 
 
 def kd_bin_permutation(pos: np.ndarray, rpt: int,
@@ -127,15 +168,23 @@ def iter_trace_segments(
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=512, seg_records=25, interpret=False, verbose=False,
-    stats=None,
+    stats=None, mesh=None,
 ):
-    """Generator yielding (records, perm) per segment.
+    """Generator yielding (rps, 8, n_tot) device records per segment, rows
+    [x,y,z,S,ne,te,b,pad], columns in ORIGINAL ray order (column i is ray
+    i; columns n_rays..n_tot are padding). Tailed rays' records carry S=0
+    from their escape segment on — consume their true records via
+    iter_tail_traces(stats, ...) after this generator is exhausted.
 
-    records: (rps, 8, n_tot) jax array, rows [x,y,z,S,ne,te,b,pad], rays in
-    this segment's kd-bin order. perm: (n_tot,) host permutation such that
-    records[:, :, i] belongs to original ray perm[i]. n_tot pads n_rays to
-    rpt * 2^k with frozen dummy rays. `stats` (optional dict) accumulates
-    'escaped' counts.
+    `stats` (optional dict) receives: 'tails' (list of TailGroup),
+    'escaped' (total rays tailed), 'n_records', 'n_tot', 'plan'.
+
+    `mesh` (optional jax.sharding.Mesh with a 'rays' axis) partitions the
+    kernel over chips: ray tiles are sharded over the 'rays' axis with
+    shard_map (tiles are independent — the TPU equivalent of the
+    reference's ProcessPool ray chunks, resample_with_ray_tracing.py:
+    333-352), cubes are replicated, and the global re-binning permutation
+    rides XLA collectives over ICI.
     """
     n_rays = start.shape[0]
     # keep >= ~32 tiles so small images still bin tightly (a 64^2 image
@@ -146,6 +195,12 @@ def iter_trace_segments(
     n_tot = rpt
     while n_tot < n_rays:
         n_tot *= 2
+    n_shards = int(mesh.shape["rays"]) if mesh is not None else 1
+    if n_shards > 1:
+        # every shard needs at least one tile
+        while n_tot // rpt < n_shards and rpt > 8:
+            rpt //= 2
+        n_tot = max(n_tot, rpt * n_shards)
     n_tiles = n_tot // rpt
 
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
@@ -160,17 +215,43 @@ def iter_trace_segments(
     state_h[:n_rays, 0:3] = np.asarray(start, np.float32)
     state_h[:n_rays, 3:6] = np.asarray(k0)
     state_h[:, 6] = 1.0
+
+    seg_call = run_trace_segment
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        tcube, scube = (jax.device_put(c, NamedSharding(mesh, P()))
+                        for c in (tcube, scube))
+        state_h = jax.device_put(
+            state_h, NamedSharding(mesh, P("rays", None)))
+
+        def seg_call(tc, sc, st, grid, rpt, rps, stride, first_block, dt,
+                     pr, xs, interp):
+            fn = shard_map(
+                lambda a, b, c: run_trace_segment(
+                    a, b, c, grid, rpt, rps, stride, first_block, dt, pr,
+                    xs, interp),
+                mesh=mesh,
+                in_specs=(P(), P(), P("rays", None, None)),
+                out_specs=PallasSegmentResult(
+                    state=P("rays", None, None),
+                    records=P("rays", None, None, None)),
+                check_vma=False)
+            return fn(tc, sc, st)
+
     state = jnp.asarray(state_h)
 
-    plan, _ = _segment_plan(n_steps, record_stride, seg_records)
-    xla_assets = {}
+    plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
     if stats is None:
         stats = {}
     stats.setdefault("escaped", 0)
+    stats["tails"] = []
+    stats["n_records"] = n_records
+    stats["n_tot"] = n_tot
 
     # state stays in the current segment's bin order; global_perm maps
     # current row -> original ray index (composed across segments)
-    from .ops.pallas_trace import BX, BY, BZ
     # kd capacity in R_sun per axis: usable brick extents minus margins
     capacity = np.array([(BX - 2) * grid.dx, (BY - 2) * grid.dy,
                          (BZ - 2) * grid.dz])
@@ -179,70 +260,190 @@ def iter_trace_segments(
         [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
          (grid.nz - 1) * grid.dz], np.float32)
 
-    def bin_rays(pos_h, cohort):
-        """kd-bin rays by position. Dead (out-of-cube) rays and the XLA
-        cohort are parked in trailing bins so they don't inflate living
-        bins' bboxes. Returns None when the current binning still fits the
-        bricks comfortably (skips the re-permute entirely).
+    def bin_rays(pos_h, parked, force):
+        """kd-bin rays by position. Dead (out-of-cube) rays and tailed
+        rays are parked in trailing bins so they don't inflate living
+        bins' bboxes (and so the kernel can skip all-parked tiles).
+        Returns None when the current binning still fits the bricks
+        comfortably (skips the re-permute entirely).
 
         Note: binning on predicted segment-midpoint positions was tried and
         is WORSE — the kernel re-centers bricks on instantaneous bboxes, so
         the current span is what matters."""
         alive = np.all((pos_h >= bounds_lo) & (pos_h <= bounds_hi), axis=1)
-        park = ~alive | cohort
+        park = ~alive | parked
         key = np.where(park[:, None], pos_h * 0 + (bounds_hi + 1e3), pos_h)
-        bins = key.reshape(n_tiles, rpt, 3)
-        spans = bins.max(axis=1) - bins.min(axis=1)
-        dead_bin = np.all(bins[:, :, 0] > bounds_hi[0], axis=1)
-        if np.all((spans <= 0.7 * capacity) | dead_bin[:, None]):
-            return None
+        if not force:
+            bins = key.reshape(n_tiles, rpt, 3)
+            spans = bins.max(axis=1) - bins.min(axis=1)
+            dead_bin = np.all(bins[:, :, 0] > bounds_hi[0], axis=1)
+            if np.all((spans <= 0.7 * capacity) | dead_bin[:, None]):
+                return None
         return kd_bin_permutation(key, rpt, capacity=capacity)
 
-    # Rays that escape their brick join a persistent "XLA cohort": they are
-    # pre-frozen for the kernel (so living bins stay tight) and integrated
-    # by the XLA fallback every segment. Membership is re-tested every few
-    # segments — chaotic caustic rays often re-join coherent flows later.
-    cohort = np.zeros(n_tot, bool)
+    tailed = np.zeros(n_tot, bool)      # sticky: once escaped, off-kernel
     global_perm = np.arange(n_tot)
-    for seg_i, (first_block, rps) in enumerate(plan):
-        if seg_i % 4 == 3:
-            cohort[:] = False    # periodic retry on the fast path
+    rec_base = 0
+    force_rebin = False
+    for first_block, rps in plan:
         pos_h = np.asarray(state[:, 0:3])
-        local = bin_rays(pos_h, cohort)
+        local = bin_rays(pos_h, tailed, force_rebin)
+        force_rebin = False
         if local is not None:
             global_perm = global_perm[local]
-            state = state[jnp.asarray(local)]
-            cohort = cohort[local]
-        kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
-        seg_start = kstate
-        if cohort.any():
-            pre = (jnp.asarray(cohort.astype(np.float32))
-                   .reshape(n_tiles, rpt))
-            kstate = kstate.at[:, 7, :].set(pre)
+            tailed = tailed[local]
+        pre = (jnp.asarray(tailed.astype(np.float32)) if tailed.any()
+               else None)
+        seg_start, kstate = _pre_kernel(
+            state, None if local is None else jnp.asarray(local), pre,
+            n_tiles, rpt)
 
-        res = run_trace_segment(
+        res = seg_call(
             tcube, scube, kstate, grid, rpt, rps, record_stride,
             first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret)
-        kstate = res.state
-        recs = res.records.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
 
-        esc_h = np.asarray(kstate[:, 7, :]).reshape(n_tot) > 0.5
-        n_esc = int(esc_h.sum())
-        if n_esc:
-            stats["escaped"] += n_esc
+        esc_h = np.asarray(res.state[:, 7, :]).reshape(n_tot) > 0.5
+        new = esc_h & ~tailed
+        if new.any():
+            idx = np.flatnonzero(new)
+            sub = np.asarray(seg_start[jnp.asarray(idx)])
+            stats["tails"].append(TailGroup(
+                orig_ids=global_perm[idx], state=sub,
+                rec_base=rec_base, first_block=first_block))
+            stats["escaped"] += len(idx)
+            tailed |= new
+            force_rebin = True
             if verbose:
-                print(f"[pallas-trace] segment: {n_esc} escaped/cohort rays "
-                      f"re-run on XLA path")
-            kstate, recs = _rerun_escaped(
-                xla_assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
-                seg_start, kstate, recs, esc_h, first_block, rps,
-                record_stride, dt, perturb_ratio, trace_crosssections, rpt)
-            cohort = cohort | esc_h
+                print(f"[pallas-trace] segment at record {rec_base}: "
+                      f"{len(idx)} rays left for the one-shot XLA tail")
 
-        state = jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T
-        state = state.at[:, 7].set(0.0)
-        yield recs, global_perm
+        inv = np.empty(n_tot, np.int64)
+        inv[global_perm] = np.arange(n_tot)
+        yield _assemble_records(
+            res.records, jnp.asarray(inv),
+            jnp.asarray(tailed[inv]), rps, n_tot)
+
+        state = _post_kernel(res.state)
+        rec_base += rps
+
+
+def _pow2_at_least(n):
+    return 1 << max(0, int(n - 1).bit_length())
+
+
+def iter_tail_traces(stats, omega_pe_cube, ne_cube, te_cube, b_cube,
+                     grid: UniformGrid, dt, record_stride,
+                     trace_crosssections=True, perturb_ratio=2.0,
+                     mesh=None):
+    """One-shot XLA completion of rays that left the Pallas fast path.
+
+    Consumes stats['tails'] from an exhausted iter_trace_segments and
+    yields (orig_ids, rec_bases, recs) chunks where recs is a device
+    (H, 8, bucket) record block shaped like the segment records: column j
+    (< len(orig_ids)) holds ray orig_ids[j]'s records for the absolute
+    record slots [rec_bases[j], rec_bases[j] + rem_j) with
+    rem_j = n_records - rec_bases[j]; rows past rem_j carry S=0 (inert).
+    Columns >= len(orig_ids) are padding.
+
+    Shapes are bucketed (ray count in {2048, 16384}, horizon to the next
+    power of two) so the XLA tracer compiles O(log) variants, and each
+    escaped ray is integrated exactly once for its whole remaining horizon
+    — the fixed cost of the fallback no longer scales with segment count.
+    """
+    tails = stats.get("tails") or []
+    if not tails:
+        return
+    n_records = stats["n_records"]
+    omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
+    trace_table = pack_trace_table(omega_pe_cube, grid)
+    model_table = pack_fields(jnp.asarray(ne_cube, jnp.float32),
+                              jnp.asarray(te_cube, jnp.float32),
+                              jnp.asarray(b_cube, jnp.float32))
+    fills = jnp.array([FILL_NE, FILL_TE, FILL_B], jnp.float32)
+
+    for fb in sorted({t.first_block for t in tails}):
+        groups = [t for t in tails if t.first_block == fb]
+        ids = np.concatenate([t.orig_ids for t in groups])
+        states = np.concatenate([t.state for t in groups], axis=0)
+        bases = np.concatenate([np.full(len(t.orig_ids), t.rec_base)
+                                for t in groups])
+        order = np.argsort(bases, kind="stable")   # similar horizons chunk
+        ids, states, bases = ids[order], states[order], bases[order]
+
+        for i in range(0, len(ids), 16384):
+            ids_c = ids[i:i + 16384]
+            states_c = states[i:i + 16384]
+            bases_c = bases[i:i + 16384]
+            m = len(ids_c)
+            bucket = 2048 if m <= 2048 else 16384
+            rem = n_records - bases_c
+            horizon = min(_pow2_at_least(int(rem.max())), n_records)
+            pad = bucket - m
+            st = np.concatenate(
+                [states_c, np.repeat(states_c[:1], pad, axis=0)], axis=0)
+            rem_pad = np.concatenate([rem, np.zeros(pad, np.int64)])
+            st = jnp.asarray(st)
+            rem_pad = jnp.asarray(rem_pad, jnp.int32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                st = jax.device_put(st, NamedSharding(mesh, P("rays", None)))
+                rem_pad = jax.device_put(rem_pad,
+                                         NamedSharding(mesh, P("rays")))
+            recs = _trace_tail_chunk(
+                trace_table, model_table, grid, st, rem_pad, fills,
+                float(dt), int(fb), int(horizon), int(record_stride),
+                bool(trace_crosssections), float(perturb_ratio))
+            yield ids_c, bases_c, recs
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "grid", "dt", "first_block", "horizon", "stride",
+    "trace_crosssections", "perturb_ratio"))
+def _trace_tail_chunk(trace_table, model_table, grid, st, rem, fills, dt,
+                      first_block, horizon, stride, trace_crosssections,
+                      perturb_ratio):
+    """Trace one tail chunk on the XLA path and assemble stream-format
+    records (H, 8, bucket); all work stays on device.
+
+    The first record lands first_block steps in. Rather than passing
+    first_block through trace_rays, the first_block-1 pre-record steps run
+    as a separate record-free advance: the fused (first_block=stride,
+    k_init, ~512 records) program shape deterministically kills the axon
+    TPU worker, while the split shapes are stable."""
+    pos, k, cums = st[:, 0:3], st[:, 3:6], st[:, 6]
+    if first_block != 1:
+        pre = trace_rays(trace_table, grid, 0.0, pos,
+                         jnp.zeros_like(k), dt, first_block - 1,
+                         first_block - 1, trace_crosssections,
+                         perturb_ratio, "cumulative",
+                         first_block=first_block - 1, k_init=k)
+        pos = pre.final_state[:, 0:3]
+        k = pre.final_state[:, 3:6]
+        cums = cums * pre.s_record[-1]
+    n_steps = 1 + (horizon - 1) * stride
+    res = trace_rays(trace_table, grid, 0.0, pos, jnp.zeros_like(k), dt,
+                     n_steps, stride, trace_crosssections, perturb_ratio,
+                     "cumulative", first_block=1, k_init=k)
+    r_rec = res.r_record                               # (H, m, 3)
+    s_rec = res.s_record * cums[None, :]               # cumS continuation
+
+    def sample_row(r):
+        # one record row at a time: a single gather over all H x m record
+        # positions is large enough to crash the axon TPU worker
+        vr, _ = trilinear_packed(model_table, grid, r[:, 0], r[:, 1],
+                                 r[:, 2])
+        return jnp.where(jnp.isfinite(vr), vr, fills)
+
+    v = jax.lax.map(sample_row, r_rec)
+    live = (jnp.arange(r_rec.shape[0], dtype=jnp.int32)[:, None]
+            < rem[None, :])
+    s_rec = jnp.where(live, s_rec, 0.0)
+    return jnp.concatenate([
+        r_rec.transpose(0, 2, 1),                      # rows x, y, z
+        s_rec[:, None, :],
+        v[..., 0][:, None, :], v[..., 1][:, None, :], v[..., 2][:, None, :],
+        jnp.zeros_like(s_rec)[:, None, :]], axis=1)
 
 
 def trace_rays_pallas(
@@ -256,22 +457,30 @@ def trace_rays_pallas(
     assembling records on the host in original ray order. Records include
     Ne/Te/|B| sampled at the record positions."""
     n_rays = start.shape[0]
-    _, n_records = _segment_plan(n_steps, record_stride, seg_records)
     stats = {}
     rec_host = None
     rec_base = 0
-    n_seg = 0
-    for recs, perm in iter_trace_segments(
+    for recs in iter_trace_segments(
             omega_pe_cube, ne_cube, te_cube, b_cube, grid, freq_hz,
             start, kdir, dt, n_steps, record_stride, trace_crosssections,
             perturb_ratio, rpt, seg_records, interpret, verbose, stats):
-        n_seg += 1
         rps = recs.shape[0]
         if rec_host is None:
-            rec_host = np.zeros((n_records, perm.shape[0], 8), np.float32)
-        rec_host[rec_base:rec_base + rps, perm, :] = (
+            rec_host = np.zeros((stats["n_records"], recs.shape[2], 8),
+                                np.float32)
+        rec_host[rec_base:rec_base + rps] = (
             np.asarray(recs).transpose(0, 2, 1))
         rec_base += rps
+
+    n_records = stats["n_records"]
+    for ids_c, bases_c, recs in iter_tail_traces(
+            stats, omega_pe_cube, ne_cube, te_cube, b_cube, grid, dt,
+            record_stride, trace_crosssections, perturb_ratio):
+        recs_h = np.asarray(recs).transpose(0, 2, 1)   # (H, bucket, 8)
+        for rb in np.unique(bases_c):
+            sel = np.flatnonzero(bases_c == rb)
+            rem = n_records - rb
+            rec_host[rb:rb + rem, ids_c[sel]] = recs_h[:rem, sel]
 
     rec_host = rec_host[:, :n_rays, :]
     return PallasTraceResult(
@@ -280,74 +489,5 @@ def trace_rays_pallas(
         ne=rec_host[:, :, 4],
         te=rec_host[:, :, 5],
         b=rec_host[:, :, 6],
-        escape_fraction=stats["escaped"] / max(1, n_rays * n_seg),
+        escape_fraction=stats["escaped"] / max(1, n_rays),
     )
-
-
-def _rerun_escaped(assets, omega_pe_cube, ne_cube, te_cube, b_cube, grid,
-                   seg_start_kstate, kstate, recs, esc_h, first_block, rps,
-                   stride, dt, perturb_ratio, trace_crosssections, rpt):
-    """Re-run escaped rays for one segment on the XLA reference tracer and
-    merge on the host. Subsets are padded to power-of-two buckets so the
-    fallback compiles a bounded number of shapes."""
-    if "trace_table" not in assets:
-        from .tracer import pack_trace_table
-        assets["trace_table"] = pack_trace_table(omega_pe_cube, grid)
-        assets["model_table"] = pack_fields(ne_cube, te_cube, b_cube)
-
-    n_tot = recs.shape[2]
-    seg_start = np.asarray(
-        jnp.transpose(seg_start_kstate, (1, 0, 2)).reshape(8, n_tot).T)
-    idx_all = np.flatnonzero(esc_h)
-    n_steps_seg = first_block + (rps - 1) * stride
-
-    # fixed bucket sizes {2048, 16384}, larger counts processed in 16384
-    # chunks: the XLA fallback compiles exactly two shapes per process
-    # (each compile costs ~30s through the remote compiler)
-    def run_chunk(idx):
-        """Trace one escape chunk on the XLA path; stays on device."""
-        m = len(idx)
-        bucket = 2048 if m <= 2048 else 16384
-        idx_pad = np.concatenate([idx, np.full(bucket - m, idx[0])])
-        sub = jnp.asarray(seg_start[idx_pad])
-        res = trace_rays(assets["trace_table"], grid, 0.0, sub[:, 0:3],
-                         jnp.zeros_like(sub[:, 3:6]), float(dt),
-                         n_steps_seg, stride, trace_crosssections,
-                         float(perturb_ratio), "cumulative",
-                         first_block=first_block, k_init=sub[:, 3:6])
-        r_rec = res.r_record[:, :m]
-        s_rec = res.s_record[:, :m] * jnp.asarray(seg_start[idx, 6])[None, :]
-        final = res.final_state[:m]
-        v, _ = trilinear_packed(assets["model_table"], grid,
-                                r_rec[..., 0], r_rec[..., 1], r_rec[..., 2])
-        fills = jnp.array([FILL_NE, FILL_TE, FILL_B], jnp.float32)
-        v = jnp.where(jnp.isfinite(v), v, fills)
-        return r_rec, s_rec, final, v
-
-    parts = [run_chunk(idx_all[i:i + 16384])
-             for i in range(0, len(idx_all), 16384)]
-    idx = idx_all
-    # host-side merge: device-side column scatters of this size reliably
-    # crash the axon TPU worker ("kernel fault"), so the merge pays the
-    # tunnel transfer instead
-    r_rec = np.concatenate([np.asarray(p[0]) for p in parts], axis=1)
-    s_rec = np.concatenate([np.asarray(p[1]) for p in parts], axis=1)
-    final = np.concatenate([np.asarray(p[2]) for p in parts], axis=0)
-    v = np.concatenate([np.asarray(p[3]) for p in parts], axis=1)
-
-    recs = np.array(recs)
-    recs[:, 0:3, idx] = r_rec.transpose(0, 2, 1)
-    recs[:, 3, idx] = s_rec
-    recs[:, 4:7, idx] = v.transpose(0, 2, 1)
-
-    new_state = np.array(
-        jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T)
-    new_state[idx, 0:3] = final[:, 0:3]
-    new_state[idx, 3:6] = final[:, 3:6]
-    new_state[idx, 6] = s_rec[-1]
-    new_state[:, 7] = 0.0
-
-    n_tiles = n_tot // rpt
-    kstate = (jnp.asarray(new_state).T.reshape(8, n_tiles, rpt)
-              .transpose(1, 0, 2))
-    return kstate, jnp.asarray(recs)

@@ -48,3 +48,27 @@ def test_streamed_matches_xla_pipeline(cubes):
     np.testing.assert_allclose(
         r_pal["emission_polVI_cube"][lit], r_xla["emission_polVI_cube"][lit],
         atol=1e-4)
+
+
+def test_streamed_sharded_matches_single_device(cubes):
+    """The production (streamed Pallas) path under an 8-device mesh must
+    reproduce the single-device map: ray tiles shard over 'rays' via
+    shard_map, the transfer carry shards over (rays, freq)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from raytracinggrff_tpu.parallel.mesh import make_mesh
+
+    common = dict(n_pix=8, x_fov=1.3, freq_hz=150e6, grid_n=40,
+                  grid_extent=2.5, z_observer=2.5, dt=1e-2, n_steps=310,
+                  record_stride=10, nfreq=2, freq_log_step=0.2)
+    cfg = RayEmissionConfig(tracer_backend="pallas", pallas_interpret=True,
+                            seg_records=10, **common)
+    r_one = run_ray_tracing_emission(cubes=cubes, verbose=False, config=cfg)
+    mesh = make_mesh(n_ray_shards=4, n_freq_shards=2)
+    r_mesh = run_ray_tracing_emission(cubes=cubes, verbose=False,
+                                      config=cfg, mesh=mesh)
+    np.testing.assert_allclose(r_mesh["emission_cube"],
+                               r_one["emission_cube"], rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(r_mesh["emission_polVI_cube"],
+                               r_one["emission_polVI_cube"], atol=1e-5)
