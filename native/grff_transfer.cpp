@@ -57,6 +57,40 @@ double refr_index_sq(double X, double Y, double theta, double sigma) {
   return 1.0 - X * omx / denom;
 }
 
+// Thermal gyroresonance opacity summed over harmonics s=2..s_max [cm^-1]
+// (mechanism flag 2, Parms[7] harmonic cap). Same quasi-longitudinal
+// Gaussian-layer form as raytracinggrff_tpu/grff/physics.py:
+//   kappa_s = (pi^2/(2c)) (nu_p^2/nu) F_sigma(theta) s^2 (s^2 beta^2
+//             sin^2/2)^(s-1) / s!  *  s nu_B Gauss(nu - s nu_B)
+// with F_sigma = (1 - sigma |cos|)^2/2 and |cos theta| floored at 0.01.
+double gyro_kappa(double nu_p_sq, double nu_b_in, double te, double nu,
+                  double theta, double sigma, int s_max) {
+  const double nu_b = nu_b_in > 1.0 ? nu_b_in : 1.0;
+  const double beta2 = kKb * te / (kMe * kCcgs * kCcgs);
+  const double beta = std::sqrt(beta2);
+  const double st = std::sin(theta);
+  double act = std::fabs(std::cos(theta));
+  if (act < 0.01) act = 0.01;
+  const double f_sigma = (1.0 - sigma * act) * (1.0 - sigma * act) / 2.0;
+  const double pref = (kPi * kPi / (2.0 * kCcgs)) * nu_p_sq / nu * f_sigma;
+  double log_arg = beta2 * st * st / 2.0;
+  log_arg = std::log(log_arg > 1e-38 ? log_arg : 1e-38);
+
+  double total = 0.0;
+  for (int s = 2; s <= s_max; ++s) {
+    const double sd = static_cast<double>(s);
+    const double width = sd * nu_b * beta * act;
+    const double log_term = 2.0 * std::log(sd) +
+                            (sd - 1.0) * (log_arg + 2.0 * std::log(sd)) -
+                            std::lgamma(sd + 1.0);
+    const double d = nu - sd * nu_b;
+    const double gauss = std::exp(-d * d / (2.0 * width * width)) /
+                         (std::sqrt(2.0 * kPi) * width);
+    total += sd * nu_b * std::exp(log_term) * gauss;
+  }
+  return pref * total;
+}
+
 }  // namespace
 
 extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
@@ -81,11 +115,12 @@ extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
       const double ds = p[0], te = p[1], ne = p[2], bb = p[3];
       const double theta = p[4] * kPi / 180.0;
       const int mech = static_cast<int>(p[6]);
+      const int s_max = p[7] > 0.0 ? static_cast<int>(p[7]) : 30;
       const double area = (p[14] > 0.0) ? p[14] : area0;
       if (!(ds > 0.0) || !std::isfinite(ds) || !std::isfinite(te) ||
           !std::isfinite(ne) || !std::isfinite(bb))
         continue;
-      if (!(mech & 1)) continue;   // free-free off -> transparent voxel
+      if (!(mech & (1 | 2))) continue;   // no emission mechanism on
 
       const double nu_p_sq = kFpeCoef * kFpeCoef * ne;
       const double nu_b = kFbCoef * bb;
@@ -117,8 +152,13 @@ extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
         const double n_sig = std::sqrt(n2 > 1e-12 ? n2 : 1e-12);
         const double eff = nu + sigma * nu_b * std::fabs(std::cos(theta));
         const double eff2 = eff * eff > 1e-30 ? eff * eff : 1e-30;
-        double kappa = kKappaFF * ne * ne * lnlam / (n_sig * eff2 * t32);
-        kappa += nu_p_sq / eff2 * nu_en / (kCcgs * n_sig);
+        double kappa = 0.0;
+        if (mech & 1) {
+          kappa = kKappaFF * ne * ne * lnlam / (n_sig * eff2 * t32);
+          kappa += nu_p_sq / eff2 * nu_en / (kCcgs * n_sig);
+        }
+        if (mech & 2)
+          kappa += gyro_kappa(nu_p_sq, nu_b, te, nu, theta, sigma, s_max);
         const double tau = kappa * ds;
         const double att = std::exp(-tau);
         const double emit = -std::expm1(-tau);

@@ -66,10 +66,13 @@ def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
     """Build the per-voxel transfer update used by both the batch scan
     (grff_transfer) and the streaming pipeline (one segment at a time).
 
-    Returned fn: (carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k) -> carry
-    with carry = (flux_o, flux_x, tau_o, tau_x), each (n_pix, Nf)."""
+    Returned fn: (carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k[, theta_k])
+    -> carry with carry = (flux_o, flux_x, tau_o, tau_x), each (n_pix, Nf).
+    theta_k (radians, per-pixel) overrides the closure angle — the real
+    GET_MW ABI permits per-voxel theta in Parms[4]."""
     freqs = jnp.asarray(freqs, jnp.float32)
-    theta = jnp.float32(np.deg2rad(theta_deg))
+    theta0 = jnp.float32(np.deg2rad(theta_deg))
+    include_ff = bool(mechanism & MECH_FREEFREE)
     include_neutrals = bool(mechanism & MECH_NEUTRALS)
     include_gr = bool(mechanism & MECH_GYRORESONANCE)
     area_default = jnp.float32(pixel_area_cm2)
@@ -77,8 +80,9 @@ def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
                 * (freqs * freqs))
     inv_au_sq = jnp.float32(1.0 / AU_CM) * jnp.float32(1.0 / AU_CM)
 
-    def update(carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k):
+    def update(carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k, theta_k=None):
         f_o, f_x, t_o, t_x = carry
+        theta = theta0 if theta_k is None else theta_k[:, None]
         mask = (mask_k & jnp.isfinite(ne_k) & jnp.isfinite(te_k)
                 & jnp.isfinite(b_k) & jnp.isfinite(ds_k) & (ds_k > 0))
         ne_s = jnp.where(mask, ne_k, 1.0)[:, None]
@@ -94,6 +98,8 @@ def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
             kappa, n2 = freefree_kappa(
                 ne_s, te_s, b_s, nu, theta, sigma,
                 include_neutrals=include_neutrals, xp=jnp)
+            if not include_ff:
+                kappa = jnp.zeros_like(kappa)
             if include_gr:
                 kappa = kappa + gyroresonance_kappa(
                     ne_s, te_s, b_s, nu, theta, sigma, s_max=s_max, xp=jnp)
@@ -120,8 +126,6 @@ def transfer_carry_init(n_pix, nf):
     return (z, z, z, z)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("mechanism", "theta_deg", "s_max"))
 def grff_transfer(
     ds,                    # (Nz, n_pix) segment lengths, cm
     te,                    # (Nz, n_pix) K
@@ -131,10 +135,27 @@ def grff_transfer(
     freqs_hz,              # (Nf,)
     pixel_area_cm2,
     s_area_cm2=None,       # (Nz, n_pix) per-voxel source area or None
-    theta_deg: float = 90.0,
+    theta_deg=90.0,        # scalar, (Nz,), or (Nz, n_pix) degrees
     mechanism: int = MECH_FREEFREE | MECH_NEUTRALS,
     s_max: int = 30,       # max gyro harmonic (Parms[7] contract)
 ) -> GrffResult:
+    theta_arr = None
+    if np.ndim(theta_deg) > 0:
+        # per-voxel theta (the real GET_MW ABI allows Parms[4] to vary)
+        theta_arr = np.deg2rad(np.broadcast_to(
+            np.asarray(theta_deg, np.float32).reshape(
+                (-1, 1) if np.ndim(theta_deg) == 1 else np.shape(theta_deg)),
+            np.shape(ds))).astype(np.float32)
+        theta_deg = -1.0   # unused; keeps the jit cache key stable
+    return _grff_transfer_jit(ds, te, ne, b, valid, freqs_hz,
+                              pixel_area_cm2, s_area_cm2, theta_arr,
+                              float(theta_deg), int(mechanism), int(s_max))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mechanism", "theta_deg", "s_max"))
+def _grff_transfer_jit(ds, te, ne, b, valid, freqs_hz, pixel_area_cm2,
+                       s_area_cm2, theta_rad, theta_deg, mechanism, s_max):
     ds = jnp.asarray(ds, jnp.float32)
     te = jnp.asarray(te, jnp.float32)
     ne = jnp.asarray(ne, jnp.float32)
@@ -153,12 +174,16 @@ def grff_transfer(
                                mechanism, s_max)
 
     def voxel_step(carry, xs):
-        ds_k, te_k, ne_k, b_k, valid_k, sarea_k = xs
-        return update(carry, ds_k, te_k, ne_k, b_k, valid_k, sarea_k), None
+        ds_k, te_k, ne_k, b_k, valid_k, sarea_k = xs[:6]
+        theta_k = xs[6] if theta_rad is not None else None
+        return update(carry, ds_k, te_k, ne_k, b_k, valid_k, sarea_k,
+                      theta_k), None
 
+    xs = (ds, te, ne, b, valid, s_area_cm2)
+    if theta_rad is not None:
+        xs = xs + (jnp.asarray(theta_rad),)
     (f_o, f_x, t_o, t_x), _ = jax.lax.scan(
-        voxel_step, transfer_carry_init(n_pix, nf),
-        (ds, te, ne, b, valid, s_area_cm2))
+        voxel_step, transfer_carry_init(n_pix, nf), xs)
 
     return GrffResult(freqs_ghz=freqs / 1e9, flux_o=f_o, flux_x=f_x,
                       tau_o=t_o, tau_x=t_x)
@@ -191,14 +216,24 @@ def get_mw(lparms, rparms, parms):
     nz = int(lparms[0])
     nf = int(lparms[1])
     freqs = log_spaced_freqs(float(rparms[1]), nf, float(rparms[2]))
+    mechs = np.unique(parms[6, :nz].astype(int)) if nz else np.array([5])
+    if len(mechs) > 1:
+        raise ValueError(
+            "per-voxel mechanism flags vary along the LOS "
+            f"({mechs.tolist()}); the native transfer applies one "
+            "mechanism set per call")
+    theta = parms[4, :nz] if nz else 90.0
+    if nz and np.ptp(theta) == 0.0:
+        theta = float(theta[0])     # common case: one compiled variant
     res = grff_transfer(
         ds=parms[0, :nz, None], te=parms[1, :nz, None],
         ne=parms[2, :nz, None], b=parms[3, :nz, None],
         valid=np.ones((nz, 1), bool), freqs_hz=freqs,
         pixel_area_cm2=float(rparms[0]),
         s_area_cm2=parms[14, :nz, None],
-        theta_deg=float(parms[4, 0]) if nz else 90.0,
-        mechanism=int(parms[6, 0]) if nz else 5,
+        theta_deg=theta,
+        mechanism=int(mechs[0]),
+        s_max=int(parms[7, 0]) if nz and parms[7, 0] > 0 else 30,
     )
     rl = np.zeros((7, nf))
     rl[0] = np.asarray(res.freqs_ghz)

@@ -87,3 +87,57 @@ def test_native_reference_script_style_call():
     res = GET_MW(lparms, rparms, parms, dummy, dummy, dummy, rl)
     assert res == 0
     assert np.all(rl[5] > 0) and np.all(rl[6] > 0)
+
+def test_native_gyroresonance_matches_jax():
+    """mech flag 2 (gyroresonance) must be honored by the .so, not silently
+    dropped — harmonic layers near s*nu_B change both mode fluxes."""
+    from raytracinggrff_tpu.grff.native import get_mw_native
+    nz, nf = 5, 3
+    parms = _pack(np.full(nz, 1e8), np.full(nz, 2e6), np.full(nz, 1e9),
+                  np.full(nz, 200.0), theta=60.0, mech=1 + 2 + 4)
+    lparms = np.array([nz, nf, 0, 0, 0], np.int32)
+    rparms = np.array([1e18, 1.0e9, 0.05])
+    rl_native = get_mw_native(lparms, rparms, parms)
+    rl_jax = get_mw(lparms, rparms, parms)
+    np.testing.assert_allclose(rl_native[5], rl_jax[5], rtol=2e-2)
+    np.testing.assert_allclose(rl_native[6], rl_jax[6], rtol=2e-2)
+
+    parms_ff = _pack(np.full(nz, 1e8), np.full(nz, 2e6), np.full(nz, 1e9),
+                     np.full(nz, 200.0), theta=60.0, mech=1 + 4)
+    rl_ff = get_mw_native(lparms, rparms, parms_ff)
+    assert np.max(np.abs(rl_native[5] - rl_ff[5])) > 0
+
+
+def test_get_mw_per_voxel_theta():
+    """Parms[4] may vary along the LOS (real GET_MW ABI); voxel-0-only
+    shortcuts would silently ignore the variation."""
+    nz, nf = 12, 2
+    parms = _pack(np.full(nz, 2e9), np.full(nz, 1.2e6), np.full(nz, 4e8),
+                  np.full(nz, 3.0), theta=90.0, mech=1 + 4)
+    lparms = np.array([nz, nf, 0, 0, 0], np.int32)
+    rparms = np.array([AREA, 200e6, 0.1])
+    rl_uniform = get_mw(lparms, rparms, parms)
+    parms_var = parms.copy()
+    parms_var[4] = np.linspace(20.0, 90.0, nz)
+    rl_var = get_mw(lparms, rparms, parms_var)
+    assert np.max(np.abs(rl_var[5] - rl_uniform[5])) > 0
+    # per-voxel uniform column equals the scalar path exactly
+    parms_same = parms.copy()
+    parms_same[4, :] = 47.5
+    rl_a = get_mw(lparms, rparms, parms_same)
+    parms_scalar = _pack(np.full(nz, 2e9), np.full(nz, 1.2e6),
+                         np.full(nz, 4e8), np.full(nz, 3.0),
+                         theta=47.5, mech=1 + 4)
+    rl_b = get_mw(lparms, rparms, parms_scalar)
+    np.testing.assert_allclose(rl_a[5], rl_b[5], rtol=1e-6)
+
+
+def test_get_mw_rejects_mixed_mechanism():
+    nz, nf = 6, 1
+    parms = _pack(np.full(nz, 1e9), np.full(nz, 1e6), np.full(nz, 1e8),
+                  np.full(nz, 1.0))
+    parms[6, 3:] = 1
+    lparms = np.array([nz, nf, 0, 0, 0], np.int32)
+    rparms = np.array([AREA, 100e6, 0.0])
+    with pytest.raises(ValueError, match="mechanism"):
+        get_mw(lparms, rparms, parms)
