@@ -71,6 +71,16 @@ def build_parser():
                    help="Number of GRFF frequency channels (default: 1)")
     p.add_argument("--freq-log-step", type=float, default=0.0,
                    help="log10 step between channels (default: 0)")
+    p.add_argument("--mechanism", type=int, default=1 + 4,
+                   help="Emission mechanism flags (Parms[6] contract): "
+                        "1 free-free, +2 gyroresonance, +4 neutral-H "
+                        "(default: 5)")
+    p.add_argument("--theta-deg", type=float, default=90.0,
+                   help="Angle between B and the LOS in degrees "
+                        "(Parms[4] contract; default: 90)")
+    p.add_argument("--patch-nan", action="store_true",
+                   help="Fill failed (zero/NaN) pixels with nearest-finite "
+                        "neighbor means (patch_nan_emission_map)")
     return p
 
 
@@ -83,10 +93,13 @@ def main(argv=None):
         record_stride=args.record_stride, s_input_on=args.s_input_on,
         nfreq=args.nfreq, freq0=args.freq,
         freq_log_step=args.freq_log_step,
-        perturb_ratio=args.perturb_ratio, phi0_offset=args.phi0_offset)
+        perturb_ratio=args.perturb_ratio, phi0_offset=args.phi0_offset,
+        mechanism=args.mechanism, theta_deg=args.theta_deg)
     run_ray_tracing_emission(
         model_path=args.model_path, config=cfg, out_path=args.out_path,
-        save_plots=not args.no_plots, verbose=not args.quiet)
+        save_plots=not args.no_plots, verbose=not args.quiet,
+        consider_beam=args.consider_beam, beam_fwhm=args.beam_fwhm,
+        patch_nan=args.patch_nan)
 
 
 if __name__ == "__main__":

@@ -82,25 +82,26 @@ def select_params(freq_hz):
 
 
 def save_map_png(tb_map, x_coords_m, y_coords_m, freq_hz, out_png):
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    """One sweep frame: T_b map with a dotted photosphere circle."""
+    from ..utils.plotting import _plt
     from ..constants import R_SUN_M
 
-    tb = np.nan_to_num(np.asarray(tb_map, float))
-    vmax = np.nanmax(tb) if np.any(np.isfinite(tb)) else 1.0
-    vmax = vmax if vmax > 0 else 1.0
-    extent = [x_coords_m[0] / R_SUN_M, x_coords_m[-1] / R_SUN_M,
-              y_coords_m[0] / R_SUN_M, y_coords_m[-1] / R_SUN_M]
-    fig, ax = plt.subplots(figsize=(6.0, 5.2), constrained_layout=True)
-    ax.imshow(tb, origin="lower", extent=extent, aspect="equal",
-              cmap="hot", vmin=0.0, vmax=vmax)
-    ax.add_patch(plt.Circle((0.0, 0.0), 1.0, edgecolor="white",
-                            facecolor="none", linewidth=1.2, linestyle=":"))
-    ax.set_xlabel(r"x ($R_\odot$)")
-    ax.set_ylabel(r"y ($R_\odot$)")
-    ax.set_title(f"Ray tracing $T_b$ at {freq_hz/1e6:.3f} MHz")
-    fig.savefig(out_png, dpi=160, bbox_inches="tight")
+    plt = _plt()
+    tb = np.where(np.isfinite(tb_map), np.asarray(tb_map, float), 0.0)
+    xr = np.asarray(x_coords_m[[0, -1]]) / R_SUN_M
+    yr = np.asarray(y_coords_m[[0, -1]]) / R_SUN_M
+    top = max(float(tb.max(initial=0.0)), 1.0)
+
+    fig, ax = plt.subplots(figsize=(6, 4.8))
+    im = ax.imshow(tb, origin="lower", cmap="hot", aspect="equal",
+                   extent=[xr[0], xr[1], yr[0], yr[1]], vmin=0.0, vmax=top)
+    theta = np.linspace(0, 2 * np.pi, 256)
+    ax.plot(np.cos(theta), np.sin(theta), ":", color="w", linewidth=1.0)
+    ax.set(xlabel=r"x ($R_\odot$)", ylabel=r"y ($R_\odot$)",
+           title=f"Ray tracing $T_b$ at {freq_hz / 1e6:.3f} MHz")
+    fig.colorbar(im, ax=ax, label="T_b (K)")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=150, bbox_inches="tight")
     plt.close(fig)
 
 
@@ -183,16 +184,18 @@ def main(argv=None):
         data = np.load(npz_path)
         save_map_png(data["emission_cube"][:, :, 0], data["x_coords"],
                      data["y_coords"], float(freq_hz), png_path)
-        manifest_rows.append((i, float(freq_hz), str(npz_path),
-                              str(png_path)))
+        manifest_rows.append(
+            {"idx": i, "freq_hz": float(freq_hz),
+             "npz": str(npz_path), "png": str(png_path)})
 
+    # manifest of completed outputs: the sweep's resume/bookkeeping record
     manifest = out_dir / "TbSpectra_manifest.txt"
-    with open(manifest, "w", encoding="utf-8") as f:
-        f.write("# idx freq_hz npz_path png_path\n")
-        for row in manifest_rows:
-            f.write(f"{row[0]:02d} {row[1]:.6e} {row[2]} {row[3]}\n")
-    print(f"Saved {len(manifest_rows)} maps to {out_dir}")
-    print(f"Manifest: {manifest}")
+    lines = ["# idx freq_hz npz_path png_path"]
+    lines += ["{idx:02d} {freq_hz:.6e} {npz} {png}".format(**r)
+              for r in manifest_rows]
+    manifest.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    print(f"Saved {len(manifest_rows)} maps to {out_dir} "
+          f"(manifest: {manifest})")
 
 
 if __name__ == "__main__":
