@@ -56,10 +56,15 @@ def main():
     p.add_argument("--repeat", type=int, default=3)
     p.add_argument("--no-crosssections", action="store_true")
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
-    p.add_argument("--rpt", type=int, default=512,
+    p.add_argument("--rpt", type=int, default=128,
                    help="pallas rays per tile")
     p.add_argument("--seg-records", type=int, default=16)
+    p.add_argument("--tile-factor", type=int, default=4,
+                   help="tile-slot over-allocation for capacity binning")
+    p.add_argument("--brick", default="16,8,16",
+                   help="pallas brick nodes bx,by,bz")
     args = p.parse_args()
+    brick = tuple(int(v) for v in args.brick.split(","))
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -90,7 +95,8 @@ def main():
                     6e-3, args.n_steps, args.record_stride,
                     trace_crosssections=not args.no_crosssections,
                     perturb_ratio=2.0, rpt=args.rpt,
-                    seg_records=args.seg_records, stats=stats):
+                    seg_records=args.seg_records, stats=stats,
+                    brick=brick, tile_factor=args.tile_factor):
                 float(recs[-1, 0, 0])
             t_seg = time.perf_counter() - t0
             for _, _, recs_t in iter_tail_traces(
@@ -99,7 +105,8 @@ def main():
                 float(recs_t[-1, 0, 0])
             t_tail = time.perf_counter() - t0 - t_seg
             note(f"  segments {t_seg:.2f}s  tails {t_tail:.2f}s  "
-                 f"escaped {stats.get('escaped', 0)} rays")
+                 f"retried {stats.get('retried', 0)} "
+                 f"tailed {stats.get('escaped', 0)} rays")
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)

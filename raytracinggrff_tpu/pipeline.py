@@ -129,15 +129,17 @@ class RayEmissionConfig:
     theta_deg: float = 90.0        # Parms[4] contract
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
-    rays_per_tile: int = 512       # pallas tracer tile size
+    rays_per_tile: int = 128       # pallas tracer tile size (lane width)
     seg_records: int = 25          # pallas records per kernel segment
+    tile_factor: int = 4           # tile-slot over-allocation for binning
     pallas_interpret: bool = False  # interpreter-mode kernels (tests)
 
 
 def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
                              cubes=None, out_path=None, save_plots=False,
                              verbose=True, mesh=None, consider_beam=False,
-                             beam_fwhm=0.2, patch_nan=False, **overrides):
+                             beam_fwhm=0.2, patch_nan=False, timestep=0,
+                             **overrides):
     """Full trace -> sample -> transfer pipeline.
 
     Either model_path (a MAS directory) or precomputed `cubes`
@@ -162,7 +164,7 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
 
     grid = UniformGrid.cube(cfg.grid_extent, cfg.grid_n)
     if cubes is None:
-        model = MASModel(model_path)
+        model = MASModel(model_path, timestep=timestep)
         cubes = prepare_cubes(model, grid, cfg.phi0_offset, verbose=verbose)
 
     xs, ys, start, kdir = image_ray_starts(cfg.n_pix, cfg.x_fov,
@@ -302,7 +304,8 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             cfg.record_stride, trace_crosssections=True,
             perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
             seg_records=cfg.seg_records, interpret=cfg.pallas_interpret,
-            verbose=verbose, stats=stats, mesh=mesh):
+            verbose=verbose, stats=stats, mesh=mesh,
+            tile_factor=cfg.tile_factor):
         if carry is None:
             n_tot = recs.shape[2]
             carry = transfer_carry_init(n_tot, int(nf))
@@ -358,7 +361,8 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
 def resample_mas_los(model_path, n_pix=128, x_range=(-1.44, 1.44),
                      y_range=(-1.44, 1.44), n_z=400, dz0=3e-4,
                      variable_spacing_z=True, z_range=None,
-                     phi0_offset=24.0, out_path=None, verbose=True):
+                     phi0_offset=24.0, out_path=None, verbose=True,
+                     timestep=0):
     """Straight-LOS resampling of the MAS model (no refraction).
 
     Geometry (ref: script/resampling_MAS_LOS.py:216-271): each pixel's LOS
@@ -374,7 +378,7 @@ def resample_mas_los(model_path, n_pix=128, x_range=(-1.44, 1.44),
     else:
         z_rsun, dz = linear_z_grid(n_z, z_range or (0.0, 4.0))
 
-    model = MASModel(model_path)
+    model = MASModel(model_path, timestep=timestep)
     temp_var = model.temperature_variable()
 
     xs = np.linspace(x_range[0], x_range[1], n_pix)

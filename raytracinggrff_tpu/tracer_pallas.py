@@ -14,17 +14,26 @@ Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
      whenever i % stride == 0, build_rays.py:241-244). Records are
      re-ordered to ORIGINAL ray order on device before they are yielded,
      so consumers never deal with bin permutations.
-  3. Rays that out-run their tile's brick (chaotic post-reflection fans
-     too sparse for any fixed-count spatial binning) leave the fast path
-     permanently: they are frozen in the kernel (the driver parks them in
-     trailing bins, which the kernel skips wholesale) and captured as
-     "tails" — (seg-start state, record offset) pairs. After the segmented
-     sweep, iter_tail_traces integrates every tail ONCE on the XLA
-     reference tracer for its whole remaining horizon. This replaces the
-     round-1 scheme (re-run escapees per segment, merge records through
-     the ~30 MB/s host tunnel every segment): each escaped ray now costs
-     one XLA trace and zero host record traffic.
-  4. Consumers:
+  3. Rays that out-run their tile's brick (their tile's bundle spread
+     exceeded the brick extents mid-segment) are frozen in the kernel and
+     RETRIED on the fast path: the driver gathers just the escapees'
+     segment-start states, re-bins them at low tile occupancy (few rays
+     per tile => much tighter bins; the kernel skips all-parked tiles, so
+     the retry launch reuses the exact same compiled kernel shapes), and
+     re-runs the same segment. Retry records/end-states replace the
+     escapees' columns on device. Without the retry, a long trace exiles
+     nearly every ray: at ~20% escapes/segment over 20 segments only
+     0.8^20 ~ 1% of rays would finish on the fast path.
+  4. Rays that escape the retry too (chaotic post-reflection fans too
+     sparse for any fixed-count spatial binning) leave the fast path
+     permanently and are captured as "tails" — (seg-start state, record
+     offset) pairs. After the segmented sweep, iter_tail_traces integrates
+     every tail ONCE on the XLA reference tracer for its whole remaining
+     horizon. This replaces the round-1 scheme (re-run escapees per
+     segment on XLA, merge records through the ~30 MB/s host tunnel every
+     segment): each tailed ray costs one XLA trace and zero host record
+     traffic.
+  5. Consumers:
        * iter_trace_segments + iter_tail_traces — the streaming interface:
          per-segment device records in original ray order chain straight
          into the radiative-transfer carry without bulk records ever
@@ -56,7 +65,7 @@ from .ops.pallas_trace import (BX, BY, BZ, PallasSegmentResult,
 from .ops.trilinear import pack_fields, trilinear_packed
 from .tracer import gradient_cubes, init_k_vectors, pack_trace_table, \
     trace_rays
-from .constants import FILL_B, FILL_NE, FILL_TE
+from .constants import C_R, FILL_B, FILL_NE, FILL_TE
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -85,6 +94,31 @@ def _assemble_records(rec_tiles, inv_cols, tail_mask, rps, n_tot):
                            axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("rps", "n_tot"))
+def _assemble_records_retry(rec_tiles, retry_tiles, inv_cols, retry_cols,
+                            use_retry, tail_mask, rps, n_tot):
+    """_assemble_records with escapee columns replaced by their fast-path
+    retry records: retry_cols maps each ORIGINAL ray to its retry slot
+    (dummy 0 where use_retry is False)."""
+    recs = rec_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+    recs = jnp.take(recs, inv_cols, axis=2)
+    rrecs = retry_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+    rrecs = jnp.take(rrecs, retry_cols, axis=2)
+    recs = jnp.where(use_retry[None, None, :], rrecs, recs)
+    s = jnp.where(tail_mask[None, :], 0.0, recs[:, 3, :])
+    return jnp.concatenate([recs[:, 0:3], s[:, None, :], recs[:, 4:]],
+                           axis=1)
+
+
+@jax.jit
+def _merge_retry_state(state, retry_state, merge_src):
+    """Replace escapee rows of the (current-bin-order) end state with their
+    retry end rows; merge_src[r] is the retry slot for current row r, or -1
+    to keep the main result."""
+    take = retry_state[jnp.maximum(merge_src, 0)]
+    return jnp.where((merge_src >= 0)[:, None], take, state)
+
+
 @functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
 def _pre_kernel(state, local, pre, n_tiles, rpt):
     """Permute rows to the new binning and shape (n_tot, 8) state into the
@@ -94,7 +128,13 @@ def _pre_kernel(state, local, pre, n_tiles, rpt):
         state = state[local]
     kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
     if pre is not None:
-        kstate = kstate.at[:, 7, :].set(pre.reshape(n_tiles, rpt))
+        p = pre.reshape(n_tiles, rpt)
+        kstate = kstate.at[:, 7, :].set(p)
+        # parked rays also drop their cumulative S: a frozen ray's S
+        # collapses to 0 on its first frozen step (degenerate perturbation
+        # cross-section), and parking skips that step
+        kstate = kstate.at[:, 6, :].set(
+            jnp.where(p > 0.5, 0.0, kstate[:, 6, :]))
     return state, kstate
 
 
@@ -123,14 +163,98 @@ class TailGroup(NamedTuple):
     first_block: int        # steps before the segment's first record
 
 
+def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
+    """Variable-occupancy capacity-aware partition.
+
+    Splits the alive rays into at most n_tiles leaves, splitting the
+    worst-fitting leaf (max span/capacity over key axes) at its median
+    until every leaf fits the brick capacity or the tile budget is
+    exhausted. Leaves hold BETWEEN 1 and rpt rays: where rays are dense
+    and coherent a leaf fills its tile; where the bundle is chaotic
+    (post-reflection fans) leaves shrink so each tile's bbox still fits
+    one brick — fixed-count bins cannot do this, because bin extent is
+    set by local ray density, not by anything the binner controls.
+
+    Returns (perm, park): perm is a permutation of row indices arranging
+    rays bin-major (tile t's leaf occupies slots [t*rpt, t*rpt+len)),
+    non-alive rows fill the remaining slots; park marks those filler
+    slots (the kernel freezes them via the esc row and skips all-parked
+    tiles)."""
+    import heapq
+
+    n_tot = len(alive)
+    idx_alive = np.flatnonzero(alive)
+    cap = np.asarray(capacity, np.float64)
+
+    def ratio(rows):
+        if len(rows) <= 1:
+            return 0.0
+        p = key[rows]
+        return float(((p.max(axis=0) - p.min(axis=0)) / cap).max())
+
+    # heap entries: (-must_split, -span_ratio, seq, rows)
+    seq = 0
+    heap = []
+
+    def push(rows):
+        nonlocal seq
+        heapq.heappush(heap, (-float(len(rows) > rpt), -ratio(rows), seq,
+                              rows))
+        seq += 1
+
+    if len(idx_alive):
+        push(idx_alive)
+    n_leaves = 1 if len(idx_alive) else 0
+    while heap and n_leaves < n_tiles:
+        must, nratio, _, rows = heap[0]
+        if must == 0.0 and -nratio <= 1.0:
+            break                        # everything fits
+        heapq.heappop(heap)
+        p = key[rows]
+        widths = (p.max(axis=0) - p.min(axis=0)) / cap
+        ax = int(np.argmax(widths))
+        half = len(rows) // 2
+        if len(rows) > rpt:
+            # size-mandated split: cut on an rpt multiple so the mandatory
+            # phase needs exactly ceil(n_alive/rpt) leaves — a plain median
+            # could demand up to 2x the tile budget
+            half = max(rpt, (half // rpt) * rpt)
+        part = np.argpartition(p[:, ax], half)
+        push(rows[part[:half]])
+        push(rows[part[half:]])
+        n_leaves += 1
+
+    perm = np.empty(n_tot, np.int64)
+    park = np.ones(n_tot, bool)
+    pool = np.flatnonzero(~alive)
+    pool_pos = 0
+    t = 0
+    for _, _, _, rows in heap:
+        base = t * rpt
+        perm[base:base + len(rows)] = rows
+        park[base:base + len(rows)] = False
+        n_pad = rpt - len(rows)
+        perm[base + len(rows):base + rpt] = pool[pool_pos:pool_pos + n_pad]
+        pool_pos += n_pad
+        t += 1
+    rest = pool[pool_pos:]
+    perm[t * rpt:] = rest
+    return perm, park
+
+
 def kd_bin_permutation(pos: np.ndarray, rpt: int,
                        capacity=(1.0, 1.0, 1.0)) -> np.ndarray:
     """Recursive median partition into spatially tight bins of `rpt` rays.
 
-    pos: (n, 3) host array with n = rpt * 2^k so every leaf is exactly
+    pos: (n, d) host array with n = rpt * 2^k so every leaf is exactly
     full. Splits the axis with the largest width/capacity ratio, so leaves
     respect anisotropic brick extents (the x-window is narrower than the
-    y/z brick). Returns the permutation ordering rays bin-major."""
+    y/z brick). d may exceed 3: the driver bins on position AND the
+    predicted segment endpoint (6 columns) so that a tile's rays stay
+    together over the whole segment — position-only bins disintegrate near
+    reflection, where neighboring rays' wavevectors fan out and a tile
+    tight at segment start spreads far beyond any brick by segment end.
+    Returns the permutation ordering rays bin-major."""
     cap = np.asarray(capacity, np.float64)
 
     def split(idx):
@@ -167,8 +291,8 @@ def iter_trace_segments(
     grid: UniformGrid, freq_hz,
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
-    rpt=512, seg_records=25, interpret=False, verbose=False,
-    stats=None, mesh=None,
+    rpt=128, seg_records=25, interpret=False, verbose=False,
+    stats=None, mesh=None, brick=(BX, BY, BZ), tile_factor=4,
 ):
     """Generator yielding (rps, 8, n_tot) device records per segment, rows
     [x,y,z,S,ne,te,b,pad], columns in ORIGINAL ray order (column i is ray
@@ -187,14 +311,23 @@ def iter_trace_segments(
     rides XLA collectives over ICI.
     """
     n_rays = start.shape[0]
-    # keep >= ~32 tiles so small images still bin tightly (a 64^2 image
-    # with 512-ray tiles measured 67% brick escapes; 128-ray tiles bin
-    # ~2x tighter per axis), floor 128 for MXU/VPU lane efficiency
-    per32 = max(1, n_rays // 32)
-    rpt = int(min(rpt, max(128, 1 << (per32.bit_length() - 1))))
+    # rpt caps the max leaf size and sets the kernel lane width; floor 128
+    # for MXU/VPU lane efficiency. tile_factor over-allocates tile slots
+    # (n_tot = tile_factor * next_pow2(n_rays)) so the capacity-aware
+    # binner can run many small leaves when rays disperse into a 3-D
+    # volume — with a 1x budget a fixed-count binner is FORCED to build
+    # bins wider than a brick once local ray density drops below
+    # rpt / brick_volume, and every such bin escapes.
+    per64 = max(1, n_rays // 64)
+    rpt = int(min(rpt, max(128, 1 << (per64.bit_length() - 1))))
     n_tot = rpt
     while n_tot < n_rays:
         n_tot *= 2
+    n_tot *= max(1, int(tile_factor))
+    # floor of 32 tiles: small images otherwise get so few tiles that the
+    # binner cannot isolate chaotic post-reflection rays (a 16^2 image at
+    # 4 tiles measured 71% tail-out; at 32 tiles effectively none)
+    n_tot = max(n_tot, 32 * rpt)
     n_shards = int(mesh.shape["rays"]) if mesh is not None else 1
     if n_shards > 1:
         # every shard needs at least one tile
@@ -216,7 +349,14 @@ def iter_trace_segments(
     state_h[:n_rays, 3:6] = np.asarray(k0)
     state_h[:, 6] = 1.0
 
-    seg_call = run_trace_segment
+    bx, by, bz = (int(v) for v in brick)
+
+    def seg_call(tc, sc, st, grid, rpt, rps, stride, first_block, dt,
+                 pr, xs, interp):
+        return run_trace_segment(tc, sc, st, grid, rpt, rps, stride,
+                                 first_block, dt, pr, xs, interp,
+                                 bx=bx, by=by, bz=bz)
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         from jax import shard_map
@@ -231,7 +371,7 @@ def iter_trace_segments(
             fn = shard_map(
                 lambda a, b, c: run_trace_segment(
                     a, b, c, grid, rpt, rps, stride, first_block, dt, pr,
-                    xs, interp),
+                    xs, interp, bx=bx, by=by, bz=bz),
                 mesh=mesh,
                 in_specs=(P(), P(), P("rays", None, None)),
                 out_specs=PallasSegmentResult(
@@ -252,79 +392,143 @@ def iter_trace_segments(
 
     # state stays in the current segment's bin order; global_perm maps
     # current row -> original ray index (composed across segments)
-    # kd capacity in R_sun per axis: usable brick extents minus margins
-    capacity = np.array([(BX - 2) * grid.dx, (BY - 2) * grid.dy,
-                         (BZ - 2) * grid.dz])
+    # kd capacity in R_sun per axis: usable brick extent after the kernel's
+    # per-side reload margin (one step of motion + cross-section
+    # perturbation reach + one interpolation cell, matching
+    # ops.pallas_trace._make_kernel); duplicated for the predicted-endpoint
+    # columns of the 6-col bin key
+    reach = ((perturb_ratio + 2.0) if trace_crosssections else 2.0) \
+        * dt * C_R
+    steps_d = np.array([grid.dx, grid.dy, grid.dz])
+    marg = 1.0 + reach / steps_d
+    capacity = np.maximum(np.array([bx, by, bz]) - 1.0 - 2.0 * marg,
+                          1.0) * steps_d
+    capacity6 = np.concatenate([capacity, capacity])
     bounds_lo = np.array(grid.origin, np.float32)
     bounds_hi = bounds_lo + np.array(
         [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
          (grid.nz - 1) * grid.dz], np.float32)
 
-    def bin_rays(pos_h, parked, force):
-        """kd-bin rays by position. Dead (out-of-cube) rays and tailed
-        rays are parked in trailing bins so they don't inflate living
-        bins' bboxes (and so the kernel can skip all-parked tiles).
-        Returns None when the current binning still fits the bricks
-        comfortably (skips the re-permute entirely).
+    def bin_key(rows_h, parked, path_len):
+        """6-column bin key (current position + straight-line predicted
+        segment endpoint pos + khat*path_len) and the alive mask. Grouping
+        on both columns keeps a tile's rays inside one brick for the whole
+        segment where the k-field fans out (reflection regions). Dead
+        (out-of-cube) and tailed rays are excluded from binning."""
+        pos = rows_h[:, 0:3]
+        k = rows_h[:, 3:6].astype(np.float64)
+        kn = np.sqrt((k * k).sum(axis=1, keepdims=True))
+        end = pos + (k / np.maximum(kn, 1e-30)) * path_len
+        alive = np.all((pos >= bounds_lo) & (pos <= bounds_hi),
+                       axis=1) & ~parked
+        return np.concatenate([pos, end], axis=1), alive
 
-        Note: binning on predicted segment-midpoint positions was tried and
-        is WORSE — the kernel re-centers bricks on instantaneous bboxes, so
-        the current span is what matters."""
-        alive = np.all((pos_h >= bounds_lo) & (pos_h <= bounds_hi), axis=1)
-        park = ~alive | parked
-        key = np.where(park[:, None], pos_h * 0 + (bounds_hi + 1e3), pos_h)
-        if not force:
-            bins = key.reshape(n_tiles, rpt, 3)
-            spans = bins.max(axis=1) - bins.min(axis=1)
-            dead_bin = np.all(bins[:, :, 0] > bounds_hi[0], axis=1)
-            if np.all((spans <= 0.7 * capacity) | dead_bin[:, None]):
+    def bin_rays(rows_h, parked, force, path_len, prev_park):
+        """Capacity-aware variable-occupancy binning on the 6-column key.
+        Returns (perm, park) or None when the current binning still fits
+        the bricks comfortably (skips the re-permute)."""
+        key, alive = bin_key(rows_h, parked, path_len)
+        if not force and prev_park is not None:
+            act = (alive & ~prev_park).reshape(n_tiles, rpt)
+            bins = key.reshape(n_tiles, rpt, 6)
+            kmin = np.where(act[:, :, None], bins, np.inf).min(axis=1)
+            kmax = np.where(act[:, :, None], bins, -np.inf).max(axis=1)
+            empty = ~act.any(axis=1)
+            if np.all((kmax - kmin <= 0.7 * capacity6) | empty[:, None]):
                 return None
-        return kd_bin_permutation(key, rpt, capacity=capacity)
+        return capacity_bin_slots(key, alive, rpt, n_tiles, capacity6)
 
-    tailed = np.zeros(n_tot, bool)      # sticky: once escaped, off-kernel
+    tailed = np.zeros(n_tot, bool)      # sticky: once tailed, off-kernel
     global_perm = np.arange(n_tot)
     rec_base = 0
     force_rebin = False
+    park_slots = None                   # set by the first binning
+    stats.setdefault("retried", 0)
     for first_block, rps in plan:
-        pos_h = np.asarray(state[:, 0:3])
-        local = bin_rays(pos_h, tailed, force_rebin)
+        path_len = (first_block + (rps - 1) * record_stride) * dt * C_R
+        rows_h = np.asarray(state)
+        binres = bin_rays(rows_h, tailed, force_rebin, path_len, park_slots)
         force_rebin = False
-        if local is not None:
+        if binres is not None:
+            local, park_slots = binres
             global_perm = global_perm[local]
             tailed = tailed[local]
-        pre = (jnp.asarray(tailed.astype(np.float32)) if tailed.any()
-               else None)
+        pre = jnp.asarray(park_slots.astype(np.float32))
         seg_start, kstate = _pre_kernel(
-            state, None if local is None else jnp.asarray(local), pre,
+            state, None if binres is None else jnp.asarray(local), pre,
             n_tiles, rpt)
 
         res = seg_call(
             tcube, scube, kstate, grid, rpt, rps, record_stride,
             first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret)
+        state = _post_kernel(res.state)
 
         esc_h = np.asarray(res.state[:, 7, :]).reshape(n_tot) > 0.5
-        new = esc_h & ~tailed
-        if new.any():
-            idx = np.flatnonzero(new)
-            sub = np.asarray(seg_start[jnp.asarray(idx)])
-            stats["tails"].append(TailGroup(
-                orig_ids=global_perm[idx], state=sub,
-                rec_base=rec_base, first_block=first_block))
-            stats["escaped"] += len(idx)
-            tailed |= new
-            force_rebin = True
-            if verbose:
-                print(f"[pallas-trace] segment at record {rec_base}: "
-                      f"{len(idx)} rays left for the one-shot XLA tail")
-
+        new = esc_h & ~tailed & ~park_slots
         inv = np.empty(n_tot, np.int64)
         inv[global_perm] = np.arange(n_tot)
-        yield _assemble_records(
-            res.records, jnp.asarray(inv),
-            jnp.asarray(tailed[inv]), rps, n_tot)
 
-        state = _post_kernel(res.state)
+        if not new.any():
+            yield _assemble_records(
+                res.records, jnp.asarray(inv),
+                jnp.asarray(tailed[inv]), rps, n_tot)
+            rec_base += rps
+            continue
+
+        # Fast-path retry: re-run just the escapees' segment from their
+        # seg-start states under a fresh capacity-aware binning (escapees
+        # alone => small tight leaves). Same kernel shapes as the main
+        # launch (parked slots skip), so no new compiles; the kernel only
+        # does work on the ~m escapee rays.
+        idx = np.flatnonzero(new)           # current-bin rows
+        m = len(idx)
+        stats["retried"] += m
+        sub_h = np.asarray(seg_start[jnp.asarray(idx)])       # (m, 8)
+        key_r = np.zeros((n_tot, 6))
+        key_r[idx], _ = bin_key(sub_h, np.zeros(m, bool), path_len)
+        perm_r, park_r = capacity_bin_slots(key_r, new, rpt, n_tiles,
+                                            capacity6)
+        inv_r = np.empty(n_tot, np.int64)
+        inv_r[perm_r] = np.arange(n_tot)
+
+        _, kstate_r = _pre_kernel(
+            seg_start, jnp.asarray(perm_r),
+            jnp.asarray(park_r.astype(np.float32)), n_tiles, rpt)
+        res_r = seg_call(
+            tcube, scube, kstate_r, grid, rpt, rps, record_stride,
+            first_block, float(dt), float(perturb_ratio),
+            trace_crosssections, interpret)
+        retry_state = _post_kernel(res_r.state)
+        esc_r = np.asarray(res_r.state[:, 7, :]).reshape(n_tot) > 0.5
+
+        # current rows whose retry escaped again -> one-shot XLA tails
+        rows_double = perm_r[np.flatnonzero(esc_r & ~park_r)]
+        if len(rows_double):
+            j_double = np.searchsorted(idx, rows_double)
+            stats["tails"].append(TailGroup(
+                orig_ids=global_perm[rows_double],
+                state=sub_h[j_double], rec_base=rec_base,
+                first_block=first_block))
+            stats["escaped"] += len(rows_double)
+            tailed[rows_double] = True
+            force_rebin = True
+        if verbose:
+            print(f"[pallas-trace] segment at record {rec_base}: "
+                  f"{m} rays retried, {len(rows_double)} left for the "
+                  f"one-shot XLA tail")
+
+        use_retry = np.zeros(n_tot, bool)
+        use_retry[global_perm[idx]] = True
+        use_retry[global_perm[rows_double]] = False
+        retry_cols = inv_r[inv]             # orig -> retry slot
+        merge_src = np.where(new, inv_r, -1)
+        state = _merge_retry_state(state, retry_state,
+                                   jnp.asarray(merge_src))
+        yield _assemble_records_retry(
+            res.records, res_r.records, jnp.asarray(inv),
+            jnp.asarray(retry_cols), jnp.asarray(use_retry),
+            jnp.asarray(tailed[inv]), rps, n_tot)
         rec_base += rps
 
 
@@ -451,7 +655,7 @@ def trace_rays_pallas(
     grid: UniformGrid, freq_hz,
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
-    rpt=512, seg_records=25, interpret=False, verbose=False,
+    rpt=128, seg_records=25, interpret=False, verbose=False,
 ) -> PallasTraceResult:
     """Trace all rays with the fused Pallas kernel (cumulative-S semantics),
     assembling records on the host in original ray order. Records include
@@ -466,10 +670,10 @@ def trace_rays_pallas(
             perturb_ratio, rpt, seg_records, interpret, verbose, stats):
         rps = recs.shape[0]
         if rec_host is None:
-            rec_host = np.zeros((stats["n_records"], recs.shape[2], 8),
-                                np.float32)
+            rec_host = np.zeros((stats["n_records"], n_rays, 8), np.float32)
+        # columns past n_rays are tile-budget padding: drop before the host
         rec_host[rec_base:rec_base + rps] = (
-            np.asarray(recs).transpose(0, 2, 1))
+            np.asarray(recs[:, :, :n_rays]).transpose(0, 2, 1))
         rec_base += rps
 
     n_records = stats["n_records"]
