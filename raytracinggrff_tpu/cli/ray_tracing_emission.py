@@ -78,6 +78,8 @@ def build_parser():
     p.add_argument("--theta-deg", type=float, default=90.0,
                    help="Angle between B and the LOS in degrees "
                         "(Parms[4] contract; default: 90)")
+    p.add_argument("--timestep", type=int, default=0,
+                   help="Timestep index for multi-timestep model dirs")
     p.add_argument("--patch-nan", action="store_true",
                    help="Fill failed (zero/NaN) pixels with nearest-finite "
                         "neighbor means (patch_nan_emission_map)")
@@ -99,7 +101,7 @@ def main(argv=None):
         model_path=args.model_path, config=cfg, out_path=args.out_path,
         save_plots=not args.no_plots, verbose=not args.quiet,
         consider_beam=args.consider_beam, beam_fwhm=args.beam_fwhm,
-        patch_nan=args.patch_nan)
+        patch_nan=args.patch_nan, timestep=args.timestep)
 
 
 if __name__ == "__main__":

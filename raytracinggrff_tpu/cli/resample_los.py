@@ -30,6 +30,8 @@ def build_parser():
     p.add_argument("--phi0-offset", type=float, default=24.0,
                    help="Longitude offset in degrees (default: 24)")
     p.add_argument("--no-plots", "-p", action="store_true")
+    p.add_argument("--timestep", type=int, default=0,
+                   help="Timestep index for multi-timestep model dirs")
     p.add_argument("--quiet", "-q", action="store_true")
     return p
 
@@ -42,7 +44,8 @@ def main(argv=None):
         x_range=(-fov, fov), y_range=(-fov, fov), n_z=args.N_z,
         dz0=args.dz0, variable_spacing_z=not args.no_variable_spacing_z,
         z_range=args.z_range, phi0_offset=args.phi0_offset,
-        out_path=args.out_path, verbose=not args.quiet)
+        out_path=args.out_path, verbose=not args.quiet,
+        timestep=args.timestep)
     if not args.no_plots:
         _save_los_plots(result, args.N_pix, fov, verbose=not args.quiet)
     return 0

@@ -191,15 +191,19 @@ class MASModel:
     """MAS model directory: lazy per-variable loading with file filtering.
 
     Equivalent of psipy MASOutput + load_mas_var_filtered
-    (ref: build_rays.py:48-66). When several timesteps exist the first is
-    used (the reference concatenates along time but samples identically for
-    single-timestep runs, the only case its pipelines exercise).
+    (ref: build_rays.py:48-66). The reference concatenates multi-timestep
+    directories along a time axis and then samples one step; here time is
+    an explicit index instead of a hidden array axis: `timestep` selects
+    which {var}NNN file each variable loads (default: first), `n_timesteps`
+    reports how many exist, and `at_time(i)` gives a same-directory view at
+    another step for iterating a time series.
     """
 
-    def __init__(self, path):
+    def __init__(self, path, timestep=0):
         self.path = Path(path)
         if not self.path.is_dir():
             raise FileNotFoundError(f"MAS model directory not found: {path}")
+        self.timestep = int(timestep)
         self._cache = {}
 
     @property
@@ -215,14 +219,27 @@ class MASModel:
         pattern = re.compile(rf"^{var_name}\d{{3}}\.(hdf|h5|hdf5)$")
         return sorted(f for f in self.path.iterdir() if pattern.match(f.name))
 
+    def n_timesteps(self, var_name) -> int:
+        return len(self.files_for(var_name))
+
+    def at_time(self, timestep) -> "MASModel":
+        """View of the same directory at another timestep (lazy, own cache)."""
+        return MASModel(self.path, timestep=timestep)
+
     def __getitem__(self, var_name) -> MASVariable:
-        if var_name not in self._cache:
+        key = (var_name, self.timestep)
+        if key not in self._cache:
             files = self.files_for(var_name)
             if not files:
                 raise KeyError(f"MAS variable {var_name!r} not found "
                                f"in {self.path}")
-            self._cache[var_name] = MASVariable.from_file(files[0], var_name)
-        return self._cache[var_name]
+            if not 0 <= self.timestep < len(files):
+                raise IndexError(
+                    f"timestep {self.timestep} out of range: {var_name} "
+                    f"has {len(files)} timestep file(s)")
+            self._cache[key] = MASVariable.from_file(
+                files[self.timestep], var_name)
+        return self._cache[key]
 
     def temperature_variable(self):
         """'te' preferred over 't' (ref: resample_with_ray_tracing.py:254-259)."""

@@ -127,3 +127,24 @@ def test_missing_variable_raises(tmp_path):
     model = MASModel(path)
     with pytest.raises(KeyError):
         model["rho"]
+
+
+def test_multi_timestep_selection(tmp_path):
+    """A directory with several {var}NNN files is a time series: timestep
+    selects the file, at_time() iterates (ref concatenates along time,
+    build_rays.py:48-66)."""
+    path = synthetic_mas_model(tmp_path / "corona", nphi=16, ntheta=13,
+                               nr=24, timestep=1)
+    synthetic_mas_model(path, nphi=16, ntheta=13, nr=24, timestep=2,
+                        b0_gauss=5.0)
+    model = MASModel(path)
+    assert model.n_timesteps("br") == 2
+    b_t0 = model["br"].data
+    b_t1 = model.at_time(1)["br"].data
+    np.testing.assert_allclose(np.abs(b_t1).max(),
+                               2.0 * np.abs(b_t0).max(), rtol=1e-6)
+    # rho is identical across the two steps
+    np.testing.assert_allclose(model.at_time(1)["rho"].data,
+                               model["rho"].data)
+    with pytest.raises(IndexError):
+        MASModel(path, timestep=2)["rho"]

@@ -95,3 +95,28 @@ def test_s_input_on_changes_map(corona):
     assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
     # S input rescales the effective emitting area -> maps differ somewhere
     assert not np.allclose(a, b)
+
+
+def test_polar_cuts_and_plot(corona, tmp_path):
+    """plot_model.py capability: equatorial + meridional polar cuts off the
+    native MAS mesh, with the reference's phi=0-vs-180 tie-break."""
+    from raytracinggrff_tpu.cli.plot_model_slices import main, polar_cuts
+    from raytracinggrff_tpu.mas.model import MASModel
+
+    var = MASModel(corona)["rho"]
+    cuts = polar_cuts(var, r_max=3.0)
+    eq, phi, r_eq = cuts["eq"]
+    mer, theta, r_mer = cuts["mer"]
+    assert eq.shape == (len(phi), len(r_eq))
+    assert mer.shape == (len(theta), len(r_mer))
+    assert r_eq.max() <= 3.0
+    assert np.all(eq > 0)
+    # the synthetic model's density falls off with r everywhere
+    assert np.all(np.diff(np.median(eq, axis=0)) < 0)
+    # the cut sits on whichever of phi=0/180 the mesh lands closer to
+    assert (abs(cuts["phi_cut_deg"]) < 20.0
+            or abs(cuts["phi_cut_deg"] - 180.0) < 20.0)
+
+    out = tmp_path / "polar.png"
+    rc = main(["-m", str(corona), "--polar", "-o", str(out)])
+    assert rc == 0 and out.exists()
