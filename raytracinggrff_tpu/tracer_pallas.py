@@ -53,6 +53,7 @@ LOS field sampling rides along in the same kernel.
 from __future__ import annotations
 
 import functools
+import time as _time
 from typing import NamedTuple
 
 import numpy as np
@@ -444,34 +445,74 @@ def iter_trace_segments(
     force_rebin = False
     park_slots = None                   # set by the first binning
     stats.setdefault("retried", 0)
-    for first_block, rps in plan:
-        path_len = (first_block + (rps - 1) * record_stride) * dt * C_R
-        rows_h = np.asarray(state)
-        binres = bin_rays(rows_h, tailed, force_rebin, path_len, park_slots)
-        force_rebin = False
+    timers = stats.setdefault(
+        "phase_s", {"fetch": 0.0, "bin": 0.0, "kernel": 0.0, "esc": 0.0,
+                    "retry": 0.0})
+    clock = _time.perf_counter
+
+    # Pipelined binning: segment i+1's binning runs WHILE segment i's
+    # kernel executes, using segment i's START state (whose device->host
+    # copy was itself enqueued right after the kernel dispatch, so the
+    # 8 MB/segment transfer hides behind kernel execution instead of
+    # serializing with it — ~11 s of a 30 s trace at 256^2 through the
+    # ~30 MB/s tunnel). The bins applied to a segment are therefore one
+    # segment stale; the 2x prediction horizon below covers the extra
+    # motion and the fast-path retry absorbs the residual escapes.
+    def horizon(fb, nrec):
+        return 2.0 * (fb + (nrec - 1) * record_stride) * dt * C_R
+
+    next_bin = bin_rays(state_h if isinstance(state_h, np.ndarray)
+                        else np.asarray(state_h), tailed, True,
+                        horizon(*plan[0]), None)
+
+    for seg_i, (first_block, rps) in enumerate(plan):
+        binres = next_bin
         if binres is not None:
             local, park_slots = binres
             global_perm = global_perm[local]
             tailed = tailed[local]
-        pre = jnp.asarray(park_slots.astype(np.float32))
+        # park newly tailed rays even when the (stale) binning predates
+        # them
+        pre = jnp.asarray(park_slots | tailed)
         seg_start, kstate = _pre_kernel(
-            state, None if binres is None else jnp.asarray(local), pre,
+            state, None if binres is None else
+            jnp.asarray(local.astype(np.int32)), pre,
             n_tiles, rpt)
 
+        t0 = clock()
         res = seg_call(
             tcube, scube, kstate, grid, rpt, rps, record_stride,
             first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret)
         state = _post_kernel(res.state)
+        try:
+            seg_start.copy_to_host_async()
+        except AttributeError:      # interpret mode / older jax arrays
+            pass
+        timers["kernel"] += clock() - t0
 
+        # overlap window: the host copy + next-segment binning ride the
+        # kernel's execution time
+        t0 = clock()
+        rows_host = np.asarray(seg_start)
+        timers["fetch"] += clock() - t0
+        t0 = clock()
+        if seg_i + 1 < len(plan):
+            next_bin = bin_rays(rows_host, tailed, force_rebin,
+                                horizon(*plan[seg_i + 1]), park_slots)
+            force_rebin = False
+        timers["bin"] += clock() - t0
+
+        t0 = clock()
         esc_h = np.asarray(res.state[:, 7, :]).reshape(n_tot) > 0.5
+        timers["esc"] += clock() - t0
         new = esc_h & ~tailed & ~park_slots
         inv = np.empty(n_tot, np.int64)
         inv[global_perm] = np.arange(n_tot)
 
         if not new.any():
             yield _assemble_records(
-                res.records, jnp.asarray(inv),
+                res.records, jnp.asarray(inv.astype(np.int32)),
                 jnp.asarray(tailed[inv]), rps, n_tot)
             rec_base += rps
             continue
@@ -481,20 +522,22 @@ def iter_trace_segments(
         # alone => small tight leaves). Same kernel shapes as the main
         # launch (parked slots skip), so no new compiles; the kernel only
         # does work on the ~m escapee rays.
+        t0 = clock()
         idx = np.flatnonzero(new)           # current-bin rows
         m = len(idx)
         stats["retried"] += m
         sub_h = np.asarray(seg_start[jnp.asarray(idx)])       # (m, 8)
         key_r = np.zeros((n_tot, 6))
-        key_r[idx], _ = bin_key(sub_h, np.zeros(m, bool), path_len)
+        key_r[idx], _ = bin_key(sub_h, np.zeros(m, bool),
+                                horizon(first_block, rps))
         perm_r, park_r = capacity_bin_slots(key_r, new, rpt, n_tiles,
                                             capacity6)
         inv_r = np.empty(n_tot, np.int64)
         inv_r[perm_r] = np.arange(n_tot)
 
         _, kstate_r = _pre_kernel(
-            seg_start, jnp.asarray(perm_r),
-            jnp.asarray(park_r.astype(np.float32)), n_tiles, rpt)
+            seg_start, jnp.asarray(perm_r.astype(np.int32)),
+            jnp.asarray(park_r), n_tiles, rpt)
         res_r = seg_call(
             tcube, scube, kstate_r, grid, rpt, rps, record_stride,
             first_block, float(dt), float(perturb_ratio),
@@ -524,10 +567,11 @@ def iter_trace_segments(
         retry_cols = inv_r[inv]             # orig -> retry slot
         merge_src = np.where(new, inv_r, -1)
         state = _merge_retry_state(state, retry_state,
-                                   jnp.asarray(merge_src))
+                                   jnp.asarray(merge_src.astype(np.int32)))
+        timers["retry"] += clock() - t0
         yield _assemble_records_retry(
-            res.records, res_r.records, jnp.asarray(inv),
-            jnp.asarray(retry_cols), jnp.asarray(use_retry),
+            res.records, res_r.records, jnp.asarray(inv.astype(np.int32)),
+            jnp.asarray(retry_cols.astype(np.int32)), jnp.asarray(use_retry),
             jnp.asarray(tailed[inv]), rps, n_tot)
         rec_base += rps
 
