@@ -120,10 +120,38 @@ def _merge_retry_state(state, retry_state, merge_src):
     return jnp.where((merge_src >= 0)[:, None], take, state)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "grid", "rpt", "rps", "stride", "first_block", "dt", "perturb_ratio",
+    "trace_crosssections", "interpret", "bx", "by", "bz"))
+def _trace_graph(tcube, scube, kstate, inv_cols, tail_mask,
+                 grid, rpt, rps, stride, first_block, dt, perturb_ratio,
+                 trace_crosssections, interpret, bx, by, bz):
+    """One dispatch for kernel -> unpack -> escape flags -> records in
+    original ray order. Collapsing the separate jit calls matters through
+    the axon tunnel, where every dispatch costs ~0.1 s of round-trip
+    latency. Kept separate from _pre_kernel on purpose: the segment-start
+    state must materialize BEFORE the kernel finishes so its async host
+    copy (which feeds the next segment's binning) overlaps kernel
+    execution — fusing the pre step in delays that copy by a whole kernel."""
+    n_tot = kstate.shape[0] * kstate.shape[2]
+    res = run_trace_segment(tcube, scube, kstate, grid, rpt, rps, stride,
+                            first_block, dt, perturb_ratio,
+                            trace_crosssections, interpret,
+                            bx=bx, by=by, bz=bz)
+    esc = res.state[:, 7, :].reshape(n_tot) > 0.5
+    state_out = _post_kernel(res.state)
+    recs = _assemble_records(res.records, inv_cols, tail_mask, rps, n_tot)
+    return state_out, esc, recs, res.records
+
+
 @functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
 def _pre_kernel(state, local, pre, n_tiles, rpt):
     """Permute rows to the new binning and shape (n_tot, 8) state into the
     kernel's (n_tiles, 8, rpt) tile layout, pre-freezing parked rays.
+    Also emits a float16 (n_tot, 6) pos+k snapshot: the next segment's
+    binning only needs 6 of the 8 columns at heuristic precision, and
+    halving+trimming the copy (8 MB -> 3 MB at 256^2) lets it hide fully
+    behind kernel execution on the ~30 MB/s tunnel.
     One jit call instead of several eager dispatches per segment."""
     if local is not None:
         state = state[local]
@@ -136,7 +164,17 @@ def _pre_kernel(state, local, pre, n_tiles, rpt):
         # cross-section), and parking skips that step
         kstate = kstate.at[:, 6, :].set(
             jnp.where(p > 0.5, 0.0, kstate[:, 6, :]))
-    return state, kstate
+    k = state[:, 3:6]
+    kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
+    khat = k / jnp.maximum(kn, 1e-30)   # raw |k| ~ 1e8 overflows f16
+    key16 = jnp.concatenate([state[:, 0:3], khat], axis=1)
+    return state, kstate, key16.astype(jnp.float16)
+
+
+@jax.jit
+def _esc_row(kstate):
+    """Escape flags from the kernel's (n_tiles, 8, rpt) state output."""
+    return kstate[:, 7, :].reshape(-1) > 0.5
 
 
 @jax.jit
@@ -412,14 +450,13 @@ def iter_trace_segments(
 
     def bin_key(rows_h, parked, path_len):
         """6-column bin key (current position + straight-line predicted
-        segment endpoint pos + khat*path_len) and the alive mask. Grouping
-        on both columns keeps a tile's rays inside one brick for the whole
+        segment endpoint pos + khat*path_len) and the alive mask, from a
+        (n, 6) [pos, khat] snapshot. Grouping on both position and
+        endpoint keeps a tile's rays inside one brick for the whole
         segment where the k-field fans out (reflection regions). Dead
         (out-of-cube) and tailed rays are excluded from binning."""
-        pos = rows_h[:, 0:3]
-        k = rows_h[:, 3:6].astype(np.float64)
-        kn = np.sqrt((k * k).sum(axis=1, keepdims=True))
-        end = pos + (k / np.maximum(kn, 1e-30)) * path_len
+        pos = rows_h[:, 0:3].astype(np.float64)
+        end = pos + rows_h[:, 3:6].astype(np.float64) * path_len
         alive = np.all((pos >= bounds_lo) & (pos <= bounds_hi),
                        axis=1) & ~parked
         return np.concatenate([pos, end], axis=1), alive
@@ -461,59 +498,90 @@ def iter_trace_segments(
     def horizon(fb, nrec):
         return 2.0 * (fb + (nrec - 1) * record_stride) * dt * C_R
 
-    next_bin = bin_rays(state_h if isinstance(state_h, np.ndarray)
-                        else np.asarray(state_h), tailed, True,
+    def host_key6(rows8):
+        pos = np.asarray(rows8[:, 0:3], np.float32)
+        k = np.asarray(rows8[:, 3:6], np.float64)
+        kn = np.sqrt((k * k).sum(axis=1, keepdims=True))
+        return np.concatenate(
+            [pos, (k / np.maximum(kn, 1e-30)).astype(np.float32)], axis=1)
+
+    next_bin = bin_rays(host_key6(np.asarray(state_h)), tailed, True,
                         horizon(*plan[0]), None)
+
+    if mesh is None:
+        def seg_exec(cur, local_np, pre_np, inv_np, tail_np, fb, nrec):
+            """Two dispatches: a small permute/park graph (so the binning
+            snapshot materializes early and its host copy can overlap the
+            kernel), then one fused kernel+unpack+records graph."""
+            seg_start, kstate, key16 = _pre_kernel(
+                cur, None if local_np is None else
+                jnp.asarray(local_np.astype(np.int32)),
+                jnp.asarray(pre_np), n_tiles, rpt)
+            try:
+                key16.copy_to_host_async()
+            except AttributeError:
+                pass
+            state2, esc, recs, raw = _trace_graph(
+                tcube, scube, kstate,
+                jnp.asarray(inv_np.astype(np.int32)), jnp.asarray(tail_np),
+                grid, rpt, nrec, record_stride, fb, float(dt),
+                float(perturb_ratio), trace_crosssections, interpret,
+                bx, by, bz)
+            return seg_start, key16, state2, esc, recs, raw
+    else:
+        def seg_exec(cur, local_np, pre_np, inv_np, tail_np, fb, nrec):
+            seg_start, kstate, key16 = _pre_kernel(
+                cur, None if local_np is None else
+                jnp.asarray(local_np.astype(np.int32)),
+                jnp.asarray(pre_np), n_tiles, rpt)
+            res = seg_call(
+                tcube, scube, kstate, grid, rpt, nrec, record_stride, fb,
+                float(dt), float(perturb_ratio), trace_crosssections,
+                interpret)
+            esc = _esc_row(res.state)
+            state2 = _post_kernel(res.state)
+            recs = _assemble_records(
+                res.records, jnp.asarray(inv_np.astype(np.int32)),
+                jnp.asarray(tail_np), nrec, n_tot)
+            return seg_start, key16, state2, esc, recs, res.records
 
     for seg_i, (first_block, rps) in enumerate(plan):
         binres = next_bin
+        local_np = None
         if binres is not None:
-            local, park_slots = binres
-            global_perm = global_perm[local]
-            tailed = tailed[local]
-        # park newly tailed rays even when the (stale) binning predates
-        # them
-        pre = jnp.asarray(park_slots | tailed)
-        seg_start, kstate = _pre_kernel(
-            state, None if binres is None else
-            jnp.asarray(local.astype(np.int32)), pre,
-            n_tiles, rpt)
+            local_np, park_slots = binres
+            global_perm = global_perm[local_np]
+            tailed = tailed[local_np]
+        inv = np.empty(n_tot, np.int64)
+        inv[global_perm] = np.arange(n_tot)
 
         t0 = clock()
-        res = seg_call(
-            tcube, scube, kstate, grid, rpt, rps, record_stride,
-            first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret)
-        state = _post_kernel(res.state)
-        try:
-            seg_start.copy_to_host_async()
-        except AttributeError:      # interpret mode / older jax arrays
-            pass
+        # pre parks newly tailed rays even when the (stale) binning
+        # predates them
+        seg_start, key16, state, esc_dev, recs, raw_recs = seg_exec(
+            state, local_np, park_slots | tailed, inv, tailed[inv],
+            first_block, rps)
         timers["kernel"] += clock() - t0
 
         # overlap window: the host copy + next-segment binning ride the
         # kernel's execution time
         t0 = clock()
-        rows_host = np.asarray(seg_start)
+        key_host = np.asarray(key16, np.float32)
         timers["fetch"] += clock() - t0
         t0 = clock()
         if seg_i + 1 < len(plan):
-            next_bin = bin_rays(rows_host, tailed, force_rebin,
+            next_bin = bin_rays(key_host, tailed, force_rebin,
                                 horizon(*plan[seg_i + 1]), park_slots)
             force_rebin = False
         timers["bin"] += clock() - t0
 
         t0 = clock()
-        esc_h = np.asarray(res.state[:, 7, :]).reshape(n_tot) > 0.5
+        esc_h = np.asarray(esc_dev)
         timers["esc"] += clock() - t0
         new = esc_h & ~tailed & ~park_slots
-        inv = np.empty(n_tot, np.int64)
-        inv[global_perm] = np.arange(n_tot)
 
         if not new.any():
-            yield _assemble_records(
-                res.records, jnp.asarray(inv.astype(np.int32)),
-                jnp.asarray(tailed[inv]), rps, n_tot)
+            yield recs
             rec_base += rps
             continue
 
@@ -528,22 +596,16 @@ def iter_trace_segments(
         stats["retried"] += m
         sub_h = np.asarray(seg_start[jnp.asarray(idx)])       # (m, 8)
         key_r = np.zeros((n_tot, 6))
-        key_r[idx], _ = bin_key(sub_h, np.zeros(m, bool),
+        key_r[idx], _ = bin_key(key_host[idx], np.zeros(m, bool),
                                 horizon(first_block, rps))
         perm_r, park_r = capacity_bin_slots(key_r, new, rpt, n_tiles,
                                             capacity6)
         inv_r = np.empty(n_tot, np.int64)
         inv_r[perm_r] = np.arange(n_tot)
 
-        _, kstate_r = _pre_kernel(
-            seg_start, jnp.asarray(perm_r.astype(np.int32)),
-            jnp.asarray(park_r), n_tiles, rpt)
-        res_r = seg_call(
-            tcube, scube, kstate_r, grid, rpt, rps, record_stride,
-            first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret)
-        retry_state = _post_kernel(res_r.state)
-        esc_r = np.asarray(res_r.state[:, 7, :]).reshape(n_tot) > 0.5
+        _, _, retry_state, esc_r_dev, _, raw_recs_r = seg_exec(
+            seg_start, perm_r, park_r, inv, tailed[inv], first_block, rps)
+        esc_r = np.asarray(esc_r_dev)
 
         # current rows whose retry escaped again -> one-shot XLA tails
         rows_double = perm_r[np.flatnonzero(esc_r & ~park_r)]
@@ -570,7 +632,7 @@ def iter_trace_segments(
                                    jnp.asarray(merge_src.astype(np.int32)))
         timers["retry"] += clock() - t0
         yield _assemble_records_retry(
-            res.records, res_r.records, jnp.asarray(inv.astype(np.int32)),
+            raw_recs, raw_recs_r, jnp.asarray(inv.astype(np.int32)),
             jnp.asarray(retry_cols.astype(np.int32)), jnp.asarray(use_retry),
             jnp.asarray(tailed[inv]), rps, n_tot)
         rec_base += rps
