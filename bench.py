@@ -85,11 +85,14 @@ def main():
                                                       iter_trace_segments)
 
         def run():
-            # consume the streaming interface the pipeline uses, tails
-            # included; forcing each block resident is the honest
-            # completion point (block_until_ready is unreliable on axon)
+            # consume the streaming interface the way the pipeline does:
+            # chain a tiny device-side reduction per segment (the transfer
+            # consumer is likewise chained on device) and force ONCE at the
+            # end — the honest completion point (block_until_ready is
+            # unreliable on axon, so a host transfer of the scalar is used)
             stats = {}
             t0 = time.perf_counter()
+            acc = None
             for recs in iter_trace_segments(
                     omega_pe, ne, te, b, grid, args.freq, start, kdir,
                     6e-3, args.n_steps, args.record_stride,
@@ -97,7 +100,9 @@ def main():
                     perturb_ratio=2.0, rpt=args.rpt,
                     seg_records=args.seg_records, stats=stats,
                     brick=brick, tile_factor=args.tile_factor):
-                float(recs[-1, 0, 0])
+                s = recs[-1, 0, 0]
+                acc = s if acc is None else acc + s
+            float(acc)
             t_seg = time.perf_counter() - t0
             for _, _, recs_t in iter_tail_traces(
                     stats, omega_pe, ne, te, b, grid, 6e-3,

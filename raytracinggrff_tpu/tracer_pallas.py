@@ -111,6 +111,103 @@ def _assemble_records_retry(rec_tiles, retry_tiles, inv_cols, retry_cols,
                            axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "grid", "rpt", "rps", "stride", "first_block", "dt", "perturb_ratio",
+    "trace_crosssections", "interpret", "bx", "by", "bz", "occ_r"))
+def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_recs,
+                 inv, park_main, tailed, tail_state, tail_seg,
+                 n_retried, seg_idx,
+                 grid, rpt, rps, stride, first_block, dt, perturb_ratio,
+                 trace_crosssections, interpret, bx, by, bz, occ_r=4):
+    """Device-resident escape handling: compact the escapees, re-run their
+    segment at occupancy occ_r, merge records/end-states, and update the
+    tail carries — all without a host round-trip, so the driver loop can
+    dispatch segment after segment without ever blocking on escape counts.
+
+    The retry binning is a rank compaction of the escapees in their main
+    kd slot order (cumsum + one co-sort, no gathers beyond jnp.take): kd
+    order is spatial, so compacted neighbors are spatially near and occ_r
+    rays per tile bin tightly. Rays whose retry escapes again become tails:
+    their seg-start state and segment index land in the (original-ray-
+    indexed) tail_state / tail_seg carries via dense masked updates, read
+    back once after the whole trace.
+
+    All index spaces: `esc`, `park_main` are in main SLOT order; `inv`
+    maps original ray -> slot; `tailed` and the tail carries are in
+    ORIGINAL ray order. Returns (state_slot_order, recs_orig_order,
+    tailed, tail_state, tail_seg, n_retried, esc_any).
+    """
+    n_tot = seg_start.shape[0]
+    n_tiles = n_tot // rpt
+    iota = jnp.arange(n_tot, dtype=jnp.int32)
+
+    retry = esc & ~park_main                     # slot space
+    has_esc = jnp.any(retry)
+    recs_m = raw_recs.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+    recs_m = jnp.take(recs_m, inv, axis=2)
+
+    def _zero_tail_s(recs, tail_mask_o):
+        s_rec = jnp.where(tail_mask_o[None, :], 0.0, recs[:, 3, :])
+        return jnp.concatenate(
+            [recs[:, 0:3], s_rec[:, None, :], recs[:, 4:]], axis=1)
+
+    def with_retry(_):
+        rank = (jnp.cumsum(retry.astype(jnp.int32))
+                - retry.astype(jnp.int32))
+        m = jnp.sum(retry.astype(jnp.int32))
+        sort_key = jnp.where(retry, rank, n_tot + 1).astype(jnp.int32)
+        _, sorted_slots = jax.lax.sort((sort_key, iota), num_keys=1)
+
+        t = iota // rpt
+        s = iota % rpt
+        r_of_slot = t * occ_r + s
+        valid = (s < occ_r) & (r_of_slot < m)
+        src_slot = sorted_slots[jnp.clip(r_of_slot, 0, n_tot - 1)]
+        rows = seg_start[jnp.where(valid, src_slot, 0)]
+        kstate_r = rows.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
+        park_f = (~valid).astype(jnp.float32).reshape(n_tiles, rpt)
+        kstate_r = kstate_r.at[:, 7, :].set(park_f)
+        kstate_r = kstate_r.at[:, 6, :].set(
+            jnp.where(park_f > 0.5, 0.0, kstate_r[:, 6, :]))
+
+        res_r = run_trace_segment(tcube, scube, kstate_r, grid, rpt, rps,
+                                  stride, first_block, dt, perturb_ratio,
+                                  trace_crosssections, interpret,
+                                  bx=bx, by=by, bz=bz)
+        esc_r = res_r.state[:, 7, :].reshape(n_tot) > 0.5
+        state_r = _post_kernel(res_r.state)
+
+        # main slot p's retry slot (arithmetic inverse of the compaction)
+        q_of_p = (rank // occ_r) * rpt + rank % occ_r
+        q_of_p = jnp.where(retry, q_of_p, 0)
+        dbl_p = retry & esc_r[q_of_p]            # double escape
+        ok_p = retry & ~dbl_p
+
+        state = jnp.where(retry[:, None], state_r[q_of_p], state_main)
+
+        recs_r = res_r.records.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+        recs_r = jnp.take(recs_r, q_of_p[inv], axis=2)
+        use_retry_o = ok_p[inv]
+        recs = jnp.where(use_retry_o[None, None, :], recs_r, recs_m)
+        dbl_o = dbl_p[inv]
+        recs = _zero_tail_s(recs, tailed | dbl_o)
+
+        # tail carries (original ray order)
+        seg_start_o = seg_start[inv]
+        tail_state2 = jnp.where(dbl_o[:, None], seg_start_o, tail_state)
+        tail_seg2 = jnp.where(dbl_o & (tail_seg < 0), seg_idx, tail_seg)
+        return (state, recs, tailed | dbl_o, tail_state2, tail_seg2, m)
+
+    def no_retry(_):
+        return (state_main, _zero_tail_s(recs_m, tailed), tailed,
+                tail_state, tail_seg, jnp.int32(0))
+
+    state, recs, tailed, tail_state, tail_seg, m = jax.lax.cond(
+        has_esc, with_retry, no_retry, None)
+    return (state, recs, tailed, tail_state, tail_seg, n_retried + m,
+            has_esc)
+
+
 @jax.jit
 def _merge_retry_state(state, retry_state, merge_src):
     """Replace escapee rows of the (current-bin-order) end state with their
@@ -142,6 +239,42 @@ def _trace_graph(tcube, scube, kstate, inv_cols, tail_mask,
     state_out = _post_kernel(res.state)
     recs = _assemble_records(res.records, inv_cols, tail_mask, rps, n_tot)
     return state_out, esc, recs, res.records
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
+def _pre_kernel_dev(state, local, park_up, tailed, gperm, n_tiles, rpt):
+    """_pre_kernel for the async loop: the park mask is completed ON
+    DEVICE (host park | current tailed, gathered to slot order), because
+    the host's tailed mirror is stale there by design."""
+    state = state[local]
+    park = park_up | tailed[gperm]
+    kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
+    p = park.astype(jnp.float32).reshape(n_tiles, rpt)
+    kstate = kstate.at[:, 7, :].set(p)
+    kstate = kstate.at[:, 6, :].set(
+        jnp.where(p > 0.5, 0.0, kstate[:, 6, :]))
+    k = state[:, 3:6]
+    kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
+    khat = k / jnp.maximum(kn, 1e-30)
+    key16 = jnp.concatenate([state[:, 0:3], khat], axis=1)
+    return state, kstate, key16.astype(jnp.float16), park
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "grid", "rpt", "rps", "stride", "first_block", "dt", "perturb_ratio",
+    "trace_crosssections", "interpret", "bx", "by", "bz"))
+def _trace_graph2(tcube, scube, kstate, grid, rpt, rps, stride,
+                  first_block, dt, perturb_ratio, trace_crosssections,
+                  interpret, bx, by, bz):
+    """Kernel + unpack for the async loop (records stay in raw tile order;
+    _retry_graph does the single merged assembly)."""
+    res = run_trace_segment(tcube, scube, kstate, grid, rpt, rps, stride,
+                            first_block, dt, perturb_ratio,
+                            trace_crosssections, interpret,
+                            bx=bx, by=by, bz=bz)
+    n_tot = kstate.shape[0] * kstate.shape[2]
+    esc = res.state[:, 7, :].reshape(n_tot) > 0.5
+    return _post_kernel(res.state), esc, res.records
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
@@ -472,7 +605,10 @@ def iter_trace_segments(
             kmin = np.where(act[:, :, None], bins, np.inf).min(axis=1)
             kmax = np.where(act[:, :, None], bins, -np.inf).max(axis=1)
             empty = ~act.any(axis=1)
-            if np.all((kmax - kmin <= 0.7 * capacity6) | empty[:, None]):
+            # 0.9: rebins are pure overhead on the single-core host; the
+            # device-side retry cleans up the extra escapes a near-full
+            # bin produces, so rebinding can wait until bins nearly burst
+            if np.all((kmax - kmin <= 0.9 * capacity6) | empty[:, None]):
                 return None
         return capacity_bin_slots(key, alive, rpt, n_tiles, capacity6)
 
@@ -509,27 +645,94 @@ def iter_trace_segments(
                         horizon(*plan[0]), None)
 
     if mesh is None:
-        def seg_exec(cur, local_np, pre_np, inv_np, tail_np, fb, nrec):
-            """Two dispatches: a small permute/park graph (so the binning
-            snapshot materializes early and its host copy can overlap the
-            kernel), then one fused kernel+unpack+records graph."""
-            seg_start, kstate, key16 = _pre_kernel(
-                cur, None if local_np is None else
-                jnp.asarray(local_np.astype(np.int32)),
-                jnp.asarray(pre_np), n_tiles, rpt)
+        # ------------------------------------------------------------------
+        # Async loop: the host NEVER blocks on per-segment results. Each
+        # segment is three queued device programs (permute/park -> kernel ->
+        # device-side retry+merge); escape handling and tail bookkeeping
+        # live in device carries, read back ONCE after the whole trace. The
+        # only host reads are the f16 binning snapshots, which throttle the
+        # host to ~one segment behind the device — exactly the depth needed
+        # to bin segment i+1 while segment i executes.
+        # ------------------------------------------------------------------
+        ident = jnp.arange(n_tot, dtype=jnp.int32)
+        gperm_dev = ident
+        inv_dev = ident
+        tailed_dev = jnp.zeros(n_tot, bool)
+        tail_state = jnp.zeros((n_tot, 8), jnp.float32)
+        tail_seg = jnp.full(n_tot, -1, jnp.int32)
+        n_retried = jnp.int32(0)
+        rec_bases = np.concatenate(
+            [[0], np.cumsum([r for _, r in plan])[:-1]])
+        park_up = None
+
+        for seg_i, (first_block, rps) in enumerate(plan):
+            binres = next_bin
+            next_bin = None
+            if binres is not None:
+                local_np, park_slots = binres
+                global_perm = global_perm[local_np]
+                inv = np.empty(n_tot, np.int64)
+                inv[global_perm] = np.arange(n_tot)
+                local_dev = jnp.asarray(local_np.astype(np.int32))
+                gperm_dev = jnp.asarray(global_perm.astype(np.int32))
+                inv_dev = jnp.asarray(inv.astype(np.int32))
+                park_up = jnp.asarray(park_slots)
+            else:
+                local_dev = ident
+
+            t0 = clock()
+            seg_start, kstate, key16, park_dev = _pre_kernel_dev(
+                state, local_dev, park_up, tailed_dev, gperm_dev,
+                n_tiles, rpt)
             try:
                 key16.copy_to_host_async()
             except AttributeError:
                 pass
-            state2, esc, recs, raw = _trace_graph(
-                tcube, scube, kstate,
-                jnp.asarray(inv_np.astype(np.int32)), jnp.asarray(tail_np),
-                grid, rpt, nrec, record_stride, fb, float(dt),
-                float(perturb_ratio), trace_crosssections, interpret,
-                bx, by, bz)
-            return seg_start, key16, state2, esc, recs, raw
-    else:
-        def seg_exec(cur, local_np, pre_np, inv_np, tail_np, fb, nrec):
+            state_main, esc_dev, raw = _trace_graph2(
+                tcube, scube, kstate, grid, rpt, rps, record_stride,
+                first_block, float(dt), float(perturb_ratio),
+                trace_crosssections, interpret, bx, by, bz)
+            (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
+             _) = _retry_graph(
+                tcube, scube, seg_start, state_main, esc_dev, raw,
+                inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
+                n_retried, seg_i, grid, rpt, rps, record_stride,
+                first_block, float(dt), float(perturb_ratio),
+                trace_crosssections, interpret, bx, by, bz)
+            timers["kernel"] += clock() - t0
+            yield recs
+
+            if seg_i + 1 < len(plan):
+                t0 = clock()
+                key_host = np.asarray(key16, np.float32)
+                timers["fetch"] += clock() - t0
+                t0 = clock()
+                next_bin = bin_rays(key_host, tailed, False,
+                                    horizon(*plan[seg_i + 1]), park_slots)
+                timers["bin"] += clock() - t0
+
+        # single read-back of the tail carries
+        t0 = clock()
+        tail_seg_h = np.asarray(tail_seg)
+        stats["retried"] = int(np.asarray(n_retried))
+        tail_rows = np.flatnonzero(tail_seg_h >= 0)
+        stats["escaped"] = len(tail_rows)
+        if len(tail_rows):
+            tail_state_h = np.asarray(tail_state)
+            for k in np.unique(tail_seg_h[tail_rows]):
+                ids = np.flatnonzero(tail_seg_h == k)
+                stats["tails"].append(TailGroup(
+                    orig_ids=ids, state=tail_state_h[ids],
+                    rec_base=int(rec_bases[int(k)]),
+                    first_block=plan[int(k)][0]))
+            if verbose:
+                print(f"[pallas-trace] {stats['escaped']} rays left for "
+                      f"the one-shot XLA tail "
+                      f"({stats['retried']} fast-path ray retries)")
+        timers["esc"] += clock() - t0
+        return
+
+    def seg_exec(cur, local_np, pre_np, inv_np, tail_np, fb, nrec):
             seg_start, kstate, key16 = _pre_kernel(
                 cur, None if local_np is None else
                 jnp.asarray(local_np.astype(np.int32)),
@@ -686,7 +889,7 @@ def iter_tail_traces(stats, omega_pe_cube, ne_cube, te_cube, b_cube,
             states_c = states[i:i + 16384]
             bases_c = bases[i:i + 16384]
             m = len(ids_c)
-            bucket = 2048 if m <= 2048 else 16384
+            bucket = 256 if m <= 256 else (2048 if m <= 2048 else 16384)
             rem = n_records - bases_c
             horizon = min(_pow2_at_least(int(rem.max())), n_records)
             pad = bucket - m

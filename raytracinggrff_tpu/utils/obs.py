@@ -121,11 +121,24 @@ def _load_h5_cube(path, image_key=None, freq_key=None):
 
 
 def load_multiband_observation(path, image_key=None, freq_key=None):
-    """Load a multi-band observation from .fits, .hdf/.h5, or .npz.
+    """Load a multi-band observation from .fits, .hdf/.h5, or .npz — or a
+    glob of single-band FITS maps (one file per frequency, band centers
+    from each file's RESTFRQ/CRVAL3 card), stacked frequency-sorted.
 
     npz convention: 'img_k' (nband, ny, nx), 'freqs_hz', and either
     'x_rsun'/'y_rsun' or 'x_coords'/'y_coords' in meters."""
     p = str(path)
+    if any(ch in p for ch in "*?["):
+        import glob
+        files = sorted(glob.glob(p))
+        if not files:
+            raise FileNotFoundError(f"no observation files match {p}")
+        bands = [_load_fits_cube(f) for f in files]
+        order = np.argsort([b.freqs_hz[0] for b in bands])
+        return ObservationCube(
+            np.concatenate([bands[i].img_k for i in order]),
+            np.concatenate([bands[i].freqs_hz for i in order]),
+            bands[order[0]].x_rsun, bands[order[0]].y_rsun)
     if p.endswith((".fits", ".fts", ".fit")):
         return _load_fits_cube(p)
     if p.endswith((".hdf", ".h5", ".hdf5")):

@@ -106,3 +106,16 @@ def test_obs_spectrum_model_only(tmp_path):
     out = tmp_path / "spec.png"
     rc = main(["-m", str(tmp_path), "-o", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_fits_glob_observation(tmp_path):
+    """A glob of single-band FITS maps stacks into one frequency-sorted
+    observation cube (band centers from RESTFRQ)."""
+    img, freqs, x = _obs_cube()
+    for b in range(4)[::-1]:      # write out of order
+        cards = dict(_plate_cards(32, x), RESTFRQ=freqs[b])
+        write_fits_image(tmp_path / f"band{b}.fits", img[b], cards)
+    obs = load_multiband_observation(str(tmp_path / "band*.fits"))
+    np.testing.assert_allclose(obs.freqs_hz, freqs)
+    np.testing.assert_allclose(obs.img_k, img)
+    np.testing.assert_allclose(obs.x_rsun, x, atol=1e-6)
