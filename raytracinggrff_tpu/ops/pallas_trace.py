@@ -71,7 +71,7 @@ def _tent_weights(l, n_rows, rows):
 
 def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, nx_pad,
-                 bx=BX, by=BY, bz=BZ):
+                 bx=BX, by=BY, bz=BZ, check_every=4):
     nx, ny, nz = grid.shape
     inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
     x0, y0, z0 = (np.float32(v) for v in grid.origin)
@@ -81,13 +81,18 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     pr = np.float32(perturb_ratio)
     bzc = bz * NCH
     # Per-axis reload margin in cells: everything that can poke beyond the
-    # ACTIVE bbox before the next per-step bounds check — one step of
-    # motion (<= dt*C_R), the cross-section perturbation offset
+    # ACTIVE bbox before the next bounds check — check_every steps of
+    # motion (<= dt*C_R each), the cross-section perturbation offset
     # (pr * step) and the perturbed ray's own step — plus one cell for the
     # trailing interpolation node. Without this margin, coherent bundles
     # escape between checks (measured 98% tail-out on a 300 MHz
     # straight-through workload with the old fixed 1-cell margin).
-    reach = (pr + 2.0) * dt * C_R if trace_crosssections else 2.0 * dt * C_R
+    # check_every > 1 trades a slightly smaller usable brick for skipping
+    # the bbox reductions + scalar-unit conditional most steps — the
+    # fixed per-tile-step cost they impose (~3.5 us) dominated the kernel
+    # at rpt=128.
+    reach = (pr + 1.0 + check_every) * dt * C_R if trace_crosssections \
+        else (1.0 + check_every) * dt * C_R
     marg_x = np.float32(1.0 + reach * inv_dx)
     marg_y = np.float32(1.0 + reach * inv_dy)
     marg_z = np.float32(1.0 + reach * inv_dz)
@@ -313,13 +318,22 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             return px, py, pz, kx, ky, kz, cums, esc
 
         def run_block(carry, n_steps, b_idx):
-            # bounds check every step: the reload margin (marg_*) covers
-            # exactly one step of motion plus the perturbation reach, so a
-            # longer check interval would let coherent bundles outrun the
-            # brick between checks. The check itself is a handful of VPU
-            # reductions; the DMA only fires when the margin is breached.
-            carry = jax.lax.fori_loop(
-                0, n_steps, lambda _, c: step(c, check_reload=True), carry)
+            # bounds check every check_every steps; the reload margin
+            # (marg_*) covers exactly that many steps of motion plus the
+            # perturbation reach, so nothing can leave the brick between
+            # checks. The DMA only fires when the margin is breached.
+            nc, rem = divmod(n_steps, check_every)
+
+            def group(_, c):
+                c = step(c, check_reload=True)
+                for _ in range(check_every - 1):
+                    c = step(c, check_reload=False)
+                return c
+
+            if nc:
+                carry = jax.lax.fori_loop(0, nc, group, carry)
+            for j in range(rem):
+                carry = step(carry, check_reload=(j == 0))
             return record(b_idx, carry)
 
         # Tiles whose rays are all frozen (escaped/tailed) or out-of-cube

@@ -565,11 +565,11 @@ def iter_trace_segments(
     # state stays in the current segment's bin order; global_perm maps
     # current row -> original ray index (composed across segments)
     # kd capacity in R_sun per axis: usable brick extent after the kernel's
-    # per-side reload margin (one step of motion + cross-section
+    # per-side reload margin (check_every steps of motion + cross-section
     # perturbation reach + one interpolation cell, matching
     # ops.pallas_trace._make_kernel); duplicated for the predicted-endpoint
     # columns of the 6-col bin key
-    reach = ((perturb_ratio + 2.0) if trace_crosssections else 2.0) \
+    reach = ((perturb_ratio + 5.0) if trace_crosssections else 5.0) \
         * dt * C_R
     steps_d = np.array([grid.dx, grid.dy, grid.dz])
     marg = 1.0 + reach / steps_d
