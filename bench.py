@@ -7,10 +7,12 @@ production configuration of script/resample_with_ray_tracing.py:154-158).
 vs_baseline is measured against the BASELINE.json north-star rate:
 <1 s/frequency on v5e-8 => 256^2*5000/8 ~= 4.1e7 ray-steps/s/chip.
 
-Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
-Per-repeat and per-stage timings (segments vs tails) go to stderr so the
-headline number is attributable (reference bench discipline:
-bench_raytrace.py:44-78 — best-of-N with explicit sync).
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline",
+"times_s", "warmup_s"}. The headline is the MEDIAN of the repeats (the axon
+TPU tunnel shows +-50% run-to-run drift, so a median plus the raw spread in
+"times_s" keeps cross-round numbers comparable); the reference instead
+reports best-of-N (bench_raytrace.py:44-78). Per-repeat and per-stage
+timings (segments vs tails) go to stderr so the headline is attributable.
 
 Workload construction mirrors the reference bench (bench_raytrace.py:16-41):
 synthetic Gaussian-density cube, jittered near-vertical rays.
@@ -57,14 +59,20 @@ def main():
     p.add_argument("--no-crosssections", action="store_true")
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--rpt", type=int, default=128,
-                   help="pallas rays per tile")
+                   help="pallas rays per lo tile")
+    p.add_argument("--rpt-hi", type=int, default=512,
+                   help="wide-tile lane width (0 disables two-class)")
     p.add_argument("--seg-records", type=int, default=16)
     p.add_argument("--tile-factor", type=int, default=4,
-                   help="tile-slot over-allocation for capacity binning")
+                   help="lo-tile over-allocation for capacity binning")
     p.add_argument("--brick", default="16,8,16",
-                   help="pallas brick nodes bx,by,bz")
+                   help="pallas lo brick nodes bx,by,bz")
+    p.add_argument("--brick-hi", default=None,
+                   help="pallas hi brick nodes (default: --brick)")
     args = p.parse_args()
     brick = tuple(int(v) for v in args.brick.split(","))
+    brick_hi = (tuple(int(v) for v in args.brick_hi.split(","))
+                if args.brick_hi else None)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -99,7 +107,8 @@ def main():
                     trace_crosssections=not args.no_crosssections,
                     perturb_ratio=2.0, rpt=args.rpt,
                     seg_records=args.seg_records, stats=stats,
-                    brick=brick, tile_factor=args.tile_factor):
+                    brick=brick, tile_factor=args.tile_factor,
+                    rpt_hi=args.rpt_hi, brick_hi=brick_hi):
                 s = recs[-1, 0, 0]
                 acc = s if acc is None else acc + s
             float(acc)
@@ -129,7 +138,8 @@ def main():
 
     t0 = time.perf_counter()
     run()  # compile + warmup
-    note(f"warmup (incl. compile): {time.perf_counter() - t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    note(f"warmup (incl. compile): {warmup_s:.1f}s")
     times = []
     for i in range(args.repeat):
         t0 = time.perf_counter()
@@ -137,17 +147,19 @@ def main():
         dt = time.perf_counter() - t0
         times.append(dt)
         note(f"repeat {i}: {dt:.2f}s")
-    best = float(np.median(times))
+    median = float(np.median(times))
 
     n_chips = 1  # bench runs single-chip; metric is per chip
     ray_steps = args.n_pix * args.n_pix * args.n_steps
-    rate = ray_steps / best / n_chips
+    rate = ray_steps / median / n_chips
 
     print(json.dumps({
         "metric": "ray-steps/sec/chip",
         "value": round(rate, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(rate / BASELINE_RATE, 3),
+        "times_s": [round(t, 2) for t in times],
+        "warmup_s": round(warmup_s, 1),
     }))
 
 

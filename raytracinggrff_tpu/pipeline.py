@@ -129,9 +129,10 @@ class RayEmissionConfig:
     theta_deg: float = 90.0        # Parms[4] contract
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
-    rays_per_tile: int = 128       # pallas tracer tile size (lane width)
+    rays_per_tile: int = 128       # pallas lo-region tile size (lane width)
+    rays_per_tile_hi: int = 512    # wide-tile lane width (0: single-class)
     seg_records: int = 25          # pallas records per kernel segment
-    tile_factor: int = 4           # tile-slot over-allocation for binning
+    tile_factor: int = 4           # lo-tile over-allocation for binning
     pallas_interpret: bool = False  # interpreter-mode kernels (tests)
 
 
@@ -220,6 +221,7 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     pol_vi = (flux_o - flux_x) / (intensity + 1e-30)
     tb = tb_from_sfu(intensity, jnp.asarray(frequencies_hz, jnp.float32),
                      pixel_area_cm2)
+    failed_px = ~np.isfinite(np.asarray(tb))   # pre-sanitization failures
     tb = jnp.nan_to_num(tb, nan=0.0, posinf=0.0, neginf=0.0)
 
     tb_h = np.asarray(tb, np.float64)
@@ -227,8 +229,11 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     emission_cube = tb_h.reshape(cfg.n_pix, cfg.n_pix, cfg.nfreq)
     pol_cube = pol_h.reshape(cfg.n_pix, cfg.n_pix, cfg.nfreq)
     if patch_nan:
+        # patch only non-finite pixels (the reference's
+        # patch_nan_emission_map contract): exact zeros can be legitimate
+        # far-off-limb LOS that never intersect the cube
         from .utils.nanpatch import patch_nan_emission_map
-        failed = emission_cube == 0.0
+        failed = failed_px.reshape(emission_cube.shape)
         emission_cube[failed] = np.nan
         emission_cube = patch_nan_emission_map(emission_cube)
         pol_cube[failed] = np.nan
@@ -305,7 +310,7 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
             seg_records=cfg.seg_records, interpret=cfg.pallas_interpret,
             verbose=verbose, stats=stats, mesh=mesh,
-            tile_factor=cfg.tile_factor):
+            tile_factor=cfg.tile_factor, rpt_hi=cfg.rays_per_tile_hi):
         if carry is None:
             n_tot = recs.shape[2]
             carry = transfer_carry_init(n_tot, int(nf))

@@ -1,45 +1,54 @@
-"""Driver for the Pallas brick tracer: binning, segments, one-shot tails.
+"""Driver for the Pallas brick tracer: two-class binning, segments, tails.
 
 Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
 
   1. Before each segment, rays are re-binned with a kd-median partition
-     (split the widest bbox axis at the median until tiles hold exactly
-     `rpt` rays). kd bins are guaranteed spatially tight — Morton-curve
-     discontinuities put rays from opposite sides of the domain into one
-     bin (measured 40%+ brick-escape rates); refraction spreads bins apart
-     over time, so binning once at launch is not enough either.
-  2. Each segment advances `first_block + (rps-1)*stride` RK4 steps and
+     (split the widest bbox axis at the median until every leaf's bbox
+     fits one VMEM brick). kd bins are guaranteed spatially tight —
+     Morton-curve discontinuities put rays from opposite sides of the
+     domain into one bin (measured 40%+ brick-escape rates); refraction
+     spreads bins apart over time, so binning once at launch is not
+     enough either.
+  2. TWO-CLASS OCCUPANCY: the kernel's per-tile step cost is matmul-
+     latency-dominated, so per-LANE throughput rises steeply with lane
+     width (measured 29M/52M/75M lane-steps/s at 128/256/512 lanes) while
+     per-TILE cost rises slowly. Coherent bundles (leaves that fill a
+     wide tile) therefore run in `rpt_hi`-lane tiles at full occupancy;
+     chaotic post-reflection fans — whose leaves must stay small to keep
+     their bbox inside a brick — run in `rpt`-lane tiles where a sparse
+     leaf wastes less. A single-width layout cannot have both: wide
+     tiles waste lanes in the sparse phase, narrow tiles serialize the
+     coherent phase on matmul latency. The slot space is a fixed
+     [hi region | lo region] partition, so kernel shapes stay static.
+  3. Each segment advances `first_block + (rps-1)*stride` RK4 steps and
      yields `rps` records per ray (positions, cumulative S, Ne/Te/|B|),
      reproducing the reference's record schedule (a record after step i
      whenever i % stride == 0, build_rays.py:241-244). Records are
-     re-ordered to ORIGINAL ray order on device before they are yielded,
-     so consumers never deal with bin permutations.
-  3. Rays that out-run their tile's brick (their tile's bundle spread
-     exceeded the brick extents mid-segment) are frozen in the kernel and
-     RETRIED on the fast path: the driver gathers just the escapees'
-     segment-start states, re-bins them at low tile occupancy (few rays
-     per tile => much tighter bins; the kernel skips all-parked tiles, so
-     the retry launch reuses the exact same compiled kernel shapes), and
-     re-runs the same segment. Retry records/end-states replace the
-     escapees' columns on device. Without the retry, a long trace exiles
-     nearly every ray: at ~20% escapes/segment over 20 segments only
-     0.8^20 ~ 1% of rays would finish on the fast path.
-  4. Rays that escape the retry too (chaotic post-reflection fans too
-     sparse for any fixed-count spatial binning) leave the fast path
-     permanently and are captured as "tails" — (seg-start state, record
-     offset) pairs. After the segmented sweep, iter_tail_traces integrates
-     every tail ONCE on the XLA reference tracer for its whole remaining
-     horizon. This replaces the round-1 scheme (re-run escapees per
-     segment on XLA, merge records through the ~30 MB/s host tunnel every
-     segment): each tailed ray costs one XLA trace and zero host record
-     traffic.
-  5. Consumers:
+     re-ordered to ORIGINAL ray order on device before they are yielded.
+  4. Rays that out-run their tile's brick are frozen in the kernel and
+     RETRIED on the fast path: a device-resident graph compacts the
+     escapees from BOTH regions into low-occupancy lo-region tiles
+     (few rays per tile => much tighter bins) and re-runs the same
+     segment, merging records/end-states without a host round-trip.
+  5. Rays that escape the retry too leave the fast path permanently and
+     are captured as "tails": after the segmented sweep, iter_tail_traces
+     integrates every tail ONCE on the XLA reference tracer for its whole
+     remaining horizon — each tailed ray costs one XLA trace and zero
+     host record traffic.
+  6. Consumers:
        * iter_trace_segments + iter_tail_traces — the streaming interface:
          per-segment device records in original ray order chain straight
          into the radiative-transfer carry without bulk records ever
          crossing the host tunnel (see pipeline.run_ray_tracing_emission).
        * trace_rays_pallas — assembles host records (tests, benchmark,
          reference-shaped API).
+
+Multi-chip: pass `mesh` (a jax.sharding.Mesh with a 'rays' axis) and the
+SAME async loop runs with every kernel launch shard_mapped over ray tiles
+(the TPU equivalent of the reference's ProcessPool ray chunks,
+resample_with_ray_tracing.py:333-352); the permutation/merge/retry graphs
+are ordinary jit ops that GSPMD partitions around the kernels. The host
+still never blocks on per-segment results.
 
 A segment record with S == 0 is inert by construction: the transfer update
 masks on S > 0 and the frozen position advances nothing (ds = 0), so tailed
@@ -83,67 +92,150 @@ def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
     return tcube, scube, k0
 
 
-@functools.partial(jax.jit, static_argnames=("rps", "n_tot"))
-def _assemble_records(rec_tiles, inv_cols, tail_mask, rps, n_tot):
-    """Kernel record tiles -> (rps, 8, n_tot) in ORIGINAL ray order, with
-    the S row zeroed for tailed rays (their segment records are invalid
-    from the escape segment onward; the one-shot tail supplies them)."""
-    recs = rec_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
-    recs = jnp.take(recs, inv_cols, axis=2)
-    s = jnp.where(tail_mask[None, :], 0.0, recs[:, 3, :])
-    return jnp.concatenate([recs[:, 0:3], s[:, None, :], recs[:, 4:]],
-                           axis=1)
-
-
-@functools.partial(jax.jit, static_argnames=("rps", "n_tot"))
-def _assemble_records_retry(rec_tiles, retry_tiles, inv_cols, retry_cols,
-                            use_retry, tail_mask, rps, n_tot):
-    """_assemble_records with escapee columns replaced by their fast-path
-    retry records: retry_cols maps each ORIGINAL ray to its retry slot
-    (dummy 0 where use_retry is False)."""
-    recs = rec_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
-    recs = jnp.take(recs, inv_cols, axis=2)
-    rrecs = retry_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
-    rrecs = jnp.take(rrecs, retry_cols, axis=2)
-    recs = jnp.where(use_retry[None, None, :], rrecs, recs)
-    s = jnp.where(tail_mask[None, :], 0.0, recs[:, 3, :])
-    return jnp.concatenate([recs[:, 0:3], s[:, None, :], recs[:, 4:]],
-                           axis=1)
+def _kernel_call(tcube, scube, kstate, mesh, grid, rpt, rps, stride,
+                 first_block, dt, perturb_ratio, trace_crosssections,
+                 interpret, bx, by, bz):
+    """One trace-segment kernel launch; shard_mapped over ray tiles when a
+    mesh is given (tiles are independent, cubes replicated)."""
+    if mesh is None:
+        return run_trace_segment(tcube, scube, kstate, grid, rpt, rps,
+                                 stride, first_block, dt, perturb_ratio,
+                                 trace_crosssections, interpret,
+                                 bx=bx, by=by, bz=bz)
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    fn = shard_map(
+        lambda a, b, c: run_trace_segment(
+            a, b, c, grid, rpt, rps, stride, first_block, dt,
+            perturb_ratio, trace_crosssections, interpret,
+            bx=bx, by=by, bz=bz),
+        mesh=mesh,
+        in_specs=(P(), P(), P("rays", None, None)),
+        out_specs=PallasSegmentResult(
+            state=P("rays", None, None),
+            records=P("rays", None, None, None)),
+        check_vma=False)
+    return fn(tcube, scube, kstate)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "grid", "rpt", "rps", "stride", "first_block", "dt", "perturb_ratio",
-    "trace_crosssections", "interpret", "bx", "by", "bz", "occ_r"))
-def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_recs,
+    "n_th", "rpt_hi", "n_tl", "rpt_lo"))
+def _pre_kernel_dev(state, local, park_up, tailed, gperm,
+                    n_th, rpt_hi, n_tl, rpt_lo):
+    """Permute rows to the new binning and shape the (n_tot, 8) state into
+    the two regions' (n_tiles, 8, width) tile layouts, pre-freezing parked
+    rays (park mask completed ON DEVICE: host park | current tailed,
+    gathered to slot order, because the host's tailed mirror is stale by
+    design in the async loop).
+
+    Also emits a float16 (n_tot, 6) pos+k̂ snapshot: the next segment's
+    binning only needs 6 of the 8 columns at heuristic precision, and
+    halving+trimming the copy lets it hide fully behind kernel execution
+    on the ~30 MB/s tunnel."""
+    state = state[local]
+    park = park_up | tailed[gperm]
+    pf = park.astype(jnp.float32)
+    parked = state.at[:, 7].set(pf)
+    # parked rays also drop their cumulative S: a frozen ray's S collapses
+    # to 0 on its first frozen step (degenerate perturbation cross-section),
+    # and parking skips that step
+    parked = parked.at[:, 6].set(jnp.where(pf > 0.5, 0.0, state[:, 6]))
+    n_hi = n_th * rpt_hi
+
+    def tiles(rows, n_t, w):
+        return rows.T.reshape(8, n_t, w).transpose(1, 0, 2)
+
+    khi = tiles(parked[:n_hi], n_th, rpt_hi) if n_th else None
+    klo = tiles(parked[n_hi:], n_tl, rpt_lo)
+    k = state[:, 3:6]
+    kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
+    khat = k / jnp.maximum(kn, 1e-30)   # raw |k| ~ 1e8 overflows f16
+    key16 = jnp.concatenate([state[:, 0:3], khat], axis=1)
+    return state, khi, klo, key16.astype(jnp.float16), park
+
+
+def _untile(kstate):
+    """(n_tiles, 8, w) tile layout back to (n, 8) rows."""
+    n = kstate.shape[0] * kstate.shape[2]
+    return jnp.transpose(kstate, (1, 0, 2)).reshape(8, n).T
+
+
+def _untile_recs(rec_tiles):
+    """(n_tiles, rps, 8, w) record tiles -> (rps, 8, n) slot order."""
+    n = rec_tiles.shape[0] * rec_tiles.shape[3]
+    rps = rec_tiles.shape[1]
+    return rec_tiles.transpose(1, 2, 0, 3).reshape(rps, 8, n)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "grid", "rpt_hi", "rpt_lo", "rps", "stride", "first_block",
+    "dt", "perturb_ratio", "trace_crosssections", "interpret",
+    "brick_hi", "brick_lo"))
+def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
+                 stride, first_block, dt, perturb_ratio,
+                 trace_crosssections, interpret, brick_hi, brick_lo):
+    """Both region kernels + unpack for the async loop: returns the merged
+    (n_tot, 8) end state in slot order, escape flags, and the raw record
+    tiles of each region (the retry graph does the single merged record
+    assembly). Collapsing dispatches matters through the axon tunnel,
+    where every dispatch costs ~0.1 s of round-trip latency."""
+    outs = []
+    for kstate, rpt, brick in ((khi, rpt_hi, brick_hi),
+                               (klo, rpt_lo, brick_lo)):
+        if kstate is None:
+            outs.append(None)
+            continue
+        outs.append(_kernel_call(
+            tcube, scube, kstate, mesh, grid, rpt, rps, stride,
+            first_block, dt, perturb_ratio, trace_crosssections,
+            interpret, *brick))
+    res_hi, res_lo = outs
+    states = [r.state for r in outs if r is not None]
+    esc = jnp.concatenate(
+        [s[:, 7, :].reshape(-1) for s in states]) > 0.5
+    state = jnp.concatenate([_untile(s) for s in states], axis=0)
+    state = state.at[:, 7].set(0.0)
+    return (state, esc,
+            None if res_hi is None else res_hi.records, res_lo.records)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "grid", "rpt_hi", "rpt_lo", "n_tl", "rps", "stride",
+    "first_block", "dt", "perturb_ratio", "trace_crosssections",
+    "interpret", "brick_lo", "occ_r"))
+def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
                  inv, park_main, tailed, tail_state, tail_seg,
                  n_retried, seg_idx,
-                 grid, rpt, rps, stride, first_block, dt, perturb_ratio,
-                 trace_crosssections, interpret, bx, by, bz, occ_r=4):
-    """Device-resident escape handling: compact the escapees, re-run their
-    segment at occupancy occ_r, merge records/end-states, and update the
-    tail carries — all without a host round-trip, so the driver loop can
-    dispatch segment after segment without ever blocking on escape counts.
+                 mesh, grid, rpt_hi, rpt_lo, n_tl, rps, stride, first_block,
+                 dt, perturb_ratio, trace_crosssections, interpret,
+                 brick_lo, occ_r=4):
+    """Device-resident escape handling: compact the escapees of BOTH
+    regions, re-run their segment in lo-region tiles at occupancy occ_r,
+    merge records/end-states, and update the tail carries — all without a
+    host round-trip, so the driver loop can dispatch segment after segment
+    without ever blocking on escape counts.
 
-    The retry binning is a rank compaction of the escapees in their main
-    kd slot order (cumsum + one co-sort, no gathers beyond jnp.take): kd
-    order is spatial, so compacted neighbors are spatially near and occ_r
-    rays per tile bin tightly. Rays whose retry escapes again become tails:
-    their seg-start state and segment index land in the (original-ray-
-    indexed) tail_state / tail_seg carries via dense masked updates, read
-    back once after the whole trace.
+    The retry binning is a rank compaction of the escapees in their slot
+    order (cumsum + one co-sort, no gathers beyond jnp.take): slot order is
+    spatial within each leaf, so compacted neighbors are spatially near and
+    occ_r rays per tile bin tightly. Rays whose retry escapes again become
+    tails: their seg-start state and segment index land in the
+    (original-ray-indexed) tail_state / tail_seg carries via dense masked
+    updates, read back once after the whole trace.
 
-    All index spaces: `esc`, `park_main` are in main SLOT order; `inv`
-    maps original ray -> slot; `tailed` and the tail carries are in
-    ORIGINAL ray order. Returns (state_slot_order, recs_orig_order,
-    tailed, tail_state, tail_seg, n_retried, esc_any).
-    """
+    All index spaces: `esc`, `park_main` are in SLOT order over the full
+    [hi | lo] slot space; `inv` maps original ray -> slot; `tailed` and the
+    tail carries are in ORIGINAL ray order. Returns (state_slot_order,
+    recs_orig_order, tailed, tail_state, tail_seg, n_retried, esc_any)."""
     n_tot = seg_start.shape[0]
-    n_tiles = n_tot // rpt
+    n_lo = n_tl * rpt_lo
     iota = jnp.arange(n_tot, dtype=jnp.int32)
 
     retry = esc & ~park_main                     # slot space
     has_esc = jnp.any(retry)
-    recs_m = raw_recs.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+    parts = ([] if raw_hi is None else [_untile_recs(raw_hi)]) \
+        + [_untile_recs(raw_lo)]
+    recs_m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
     recs_m = jnp.take(recs_m, inv, axis=2)
 
     def _zero_tail_s(recs, tail_mask_o):
@@ -158,34 +250,40 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_recs,
         sort_key = jnp.where(retry, rank, n_tot + 1).astype(jnp.int32)
         _, sorted_slots = jax.lax.sort((sort_key, iota), num_keys=1)
 
-        t = iota // rpt
-        s = iota % rpt
+        j = jnp.arange(n_lo, dtype=jnp.int32)
+        t = j // rpt_lo
+        s = j % rpt_lo
         r_of_slot = t * occ_r + s
         valid = (s < occ_r) & (r_of_slot < m)
         src_slot = sorted_slots[jnp.clip(r_of_slot, 0, n_tot - 1)]
         rows = seg_start[jnp.where(valid, src_slot, 0)]
-        kstate_r = rows.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
-        park_f = (~valid).astype(jnp.float32).reshape(n_tiles, rpt)
+        kstate_r = rows.T.reshape(8, n_tl, rpt_lo).transpose(1, 0, 2)
+        park_f = (~valid).astype(jnp.float32).reshape(n_tl, rpt_lo)
         kstate_r = kstate_r.at[:, 7, :].set(park_f)
         kstate_r = kstate_r.at[:, 6, :].set(
             jnp.where(park_f > 0.5, 0.0, kstate_r[:, 6, :]))
 
-        res_r = run_trace_segment(tcube, scube, kstate_r, grid, rpt, rps,
-                                  stride, first_block, dt, perturb_ratio,
-                                  trace_crosssections, interpret,
-                                  bx=bx, by=by, bz=bz)
-        esc_r = res_r.state[:, 7, :].reshape(n_tot) > 0.5
-        state_r = _post_kernel(res_r.state)
+        res_r = _kernel_call(tcube, scube, kstate_r, mesh, grid, rpt_lo,
+                             rps, stride, first_block, dt, perturb_ratio,
+                             trace_crosssections, interpret, *brick_lo)
+        esc_r = res_r.state[:, 7, :].reshape(n_lo) > 0.5
+        state_r = _untile(res_r.state).at[:, 7].set(0.0)
 
-        # main slot p's retry slot (arithmetic inverse of the compaction)
-        q_of_p = (rank // occ_r) * rpt + rank % occ_r
-        q_of_p = jnp.where(retry, q_of_p, 0)
-        dbl_p = retry & esc_r[q_of_p]            # double escape
+        # main slot p's retry slot (arithmetic inverse of the compaction).
+        # Escapees beyond the retry capacity (rank >= n_tl*occ_r never got
+        # a retry slot) are double-escapes outright: without the overflow
+        # mask the clamped gathers below would splice ANOTHER ray's retry
+        # state/records into them.
+        overflow = retry & (rank >= n_tl * occ_r)
+        placed = retry & ~overflow
+        q_of_p = (rank // occ_r) * rpt_lo + rank % occ_r
+        q_of_p = jnp.where(placed, q_of_p, 0)
+        dbl_p = retry & (esc_r[q_of_p] | overflow)
         ok_p = retry & ~dbl_p
 
-        state = jnp.where(retry[:, None], state_r[q_of_p], state_main)
+        state = jnp.where(placed[:, None], state_r[q_of_p], state_main)
 
-        recs_r = res_r.records.transpose(1, 2, 0, 3).reshape(rps, 8, n_tot)
+        recs_r = _untile_recs(res_r.records)
         recs_r = jnp.take(recs_r, q_of_p[inv], axis=2)
         use_retry_o = ok_p[inv]
         recs = jnp.where(use_retry_o[None, None, :], recs_r, recs_m)
@@ -208,116 +306,6 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_recs,
             has_esc)
 
 
-@jax.jit
-def _merge_retry_state(state, retry_state, merge_src):
-    """Replace escapee rows of the (current-bin-order) end state with their
-    retry end rows; merge_src[r] is the retry slot for current row r, or -1
-    to keep the main result."""
-    take = retry_state[jnp.maximum(merge_src, 0)]
-    return jnp.where((merge_src >= 0)[:, None], take, state)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "grid", "rpt", "rps", "stride", "first_block", "dt", "perturb_ratio",
-    "trace_crosssections", "interpret", "bx", "by", "bz"))
-def _trace_graph(tcube, scube, kstate, inv_cols, tail_mask,
-                 grid, rpt, rps, stride, first_block, dt, perturb_ratio,
-                 trace_crosssections, interpret, bx, by, bz):
-    """One dispatch for kernel -> unpack -> escape flags -> records in
-    original ray order. Collapsing the separate jit calls matters through
-    the axon tunnel, where every dispatch costs ~0.1 s of round-trip
-    latency. Kept separate from _pre_kernel on purpose: the segment-start
-    state must materialize BEFORE the kernel finishes so its async host
-    copy (which feeds the next segment's binning) overlaps kernel
-    execution — fusing the pre step in delays that copy by a whole kernel."""
-    n_tot = kstate.shape[0] * kstate.shape[2]
-    res = run_trace_segment(tcube, scube, kstate, grid, rpt, rps, stride,
-                            first_block, dt, perturb_ratio,
-                            trace_crosssections, interpret,
-                            bx=bx, by=by, bz=bz)
-    esc = res.state[:, 7, :].reshape(n_tot) > 0.5
-    state_out = _post_kernel(res.state)
-    recs = _assemble_records(res.records, inv_cols, tail_mask, rps, n_tot)
-    return state_out, esc, recs, res.records
-
-
-@functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
-def _pre_kernel_dev(state, local, park_up, tailed, gperm, n_tiles, rpt):
-    """_pre_kernel for the async loop: the park mask is completed ON
-    DEVICE (host park | current tailed, gathered to slot order), because
-    the host's tailed mirror is stale there by design."""
-    state = state[local]
-    park = park_up | tailed[gperm]
-    kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
-    p = park.astype(jnp.float32).reshape(n_tiles, rpt)
-    kstate = kstate.at[:, 7, :].set(p)
-    kstate = kstate.at[:, 6, :].set(
-        jnp.where(p > 0.5, 0.0, kstate[:, 6, :]))
-    k = state[:, 3:6]
-    kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
-    khat = k / jnp.maximum(kn, 1e-30)
-    key16 = jnp.concatenate([state[:, 0:3], khat], axis=1)
-    return state, kstate, key16.astype(jnp.float16), park
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "grid", "rpt", "rps", "stride", "first_block", "dt", "perturb_ratio",
-    "trace_crosssections", "interpret", "bx", "by", "bz"))
-def _trace_graph2(tcube, scube, kstate, grid, rpt, rps, stride,
-                  first_block, dt, perturb_ratio, trace_crosssections,
-                  interpret, bx, by, bz):
-    """Kernel + unpack for the async loop (records stay in raw tile order;
-    _retry_graph does the single merged assembly)."""
-    res = run_trace_segment(tcube, scube, kstate, grid, rpt, rps, stride,
-                            first_block, dt, perturb_ratio,
-                            trace_crosssections, interpret,
-                            bx=bx, by=by, bz=bz)
-    n_tot = kstate.shape[0] * kstate.shape[2]
-    esc = res.state[:, 7, :].reshape(n_tot) > 0.5
-    return _post_kernel(res.state), esc, res.records
-
-
-@functools.partial(jax.jit, static_argnames=("n_tiles", "rpt"))
-def _pre_kernel(state, local, pre, n_tiles, rpt):
-    """Permute rows to the new binning and shape (n_tot, 8) state into the
-    kernel's (n_tiles, 8, rpt) tile layout, pre-freezing parked rays.
-    Also emits a float16 (n_tot, 6) pos+k snapshot: the next segment's
-    binning only needs 6 of the 8 columns at heuristic precision, and
-    halving+trimming the copy (8 MB -> 3 MB at 256^2) lets it hide fully
-    behind kernel execution on the ~30 MB/s tunnel.
-    One jit call instead of several eager dispatches per segment."""
-    if local is not None:
-        state = state[local]
-    kstate = state.T.reshape(8, n_tiles, rpt).transpose(1, 0, 2)
-    if pre is not None:
-        p = pre.reshape(n_tiles, rpt)
-        kstate = kstate.at[:, 7, :].set(p)
-        # parked rays also drop their cumulative S: a frozen ray's S
-        # collapses to 0 on its first frozen step (degenerate perturbation
-        # cross-section), and parking skips that step
-        kstate = kstate.at[:, 6, :].set(
-            jnp.where(p > 0.5, 0.0, kstate[:, 6, :]))
-    k = state[:, 3:6]
-    kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
-    khat = k / jnp.maximum(kn, 1e-30)   # raw |k| ~ 1e8 overflows f16
-    key16 = jnp.concatenate([state[:, 0:3], khat], axis=1)
-    return state, kstate, key16.astype(jnp.float16)
-
-
-@jax.jit
-def _esc_row(kstate):
-    """Escape flags from the kernel's (n_tiles, 8, rpt) state output."""
-    return kstate[:, 7, :].reshape(-1) > 0.5
-
-
-@jax.jit
-def _post_kernel(kstate):
-    """Tile layout back to (n_tot, 8) rows with the esc row cleared."""
-    n_tot = kstate.shape[0] * kstate.shape[2]
-    state = jnp.transpose(kstate, (1, 0, 2)).reshape(8, n_tot).T
-    return state.at[:, 7].set(0.0)
-
-
 class PallasTraceResult(NamedTuple):
     r_record: np.ndarray   # (n_records, n_rays, 3)
     s_record: np.ndarray   # (n_records, n_rays) cumulative S
@@ -335,27 +323,19 @@ class TailGroup(NamedTuple):
     first_block: int        # steps before the segment's first record
 
 
-def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
-    """Variable-occupancy capacity-aware partition.
+def _split_leaves(key, idx_alive, max_leaf, capacity, budget):
+    """kd capacity splitting: recursively split the worst-fitting leaf
+    (max span/capacity over key axes) at its median until every leaf fits
+    the brick capacity (and holds <= max_leaf rays) or the budget is
+    exhausted. Returns the list of leaves (row-index arrays).
 
-    Splits the alive rays into at most n_tiles leaves, splitting the
-    worst-fitting leaf (max span/capacity over key axes) at its median
-    until every leaf fits the brick capacity or the tile budget is
-    exhausted. Leaves hold BETWEEN 1 and rpt rays: where rays are dense
-    and coherent a leaf fills its tile; where the bundle is chaotic
-    (post-reflection fans) leaves shrink so each tile's bbox still fits
-    one brick — fixed-count bins cannot do this, because bin extent is
-    set by local ray density, not by anything the binner controls.
-
-    Returns (perm, park): perm is a permutation of row indices arranging
-    rays bin-major (tile t's leaf occupies slots [t*rpt, t*rpt+len)),
-    non-alive rows fill the remaining slots; park marks those filler
-    slots (the kernel freezes them via the esc row and skips all-parked
-    tiles)."""
+    Leaves end up BETWEEN 1 and max_leaf rays: where rays are dense and
+    coherent a leaf fills out; where the bundle is chaotic (post-reflection
+    fans) leaves shrink so each leaf's bbox still fits one brick —
+    fixed-count bins cannot do this, because bin extent is set by local ray
+    density, not by anything the binner controls."""
     import heapq
 
-    n_tot = len(alive)
-    idx_alive = np.flatnonzero(alive)
     cap = np.asarray(capacity, np.float64)
 
     def ratio(rows):
@@ -370,14 +350,14 @@ def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
 
     def push(rows):
         nonlocal seq
-        heapq.heappush(heap, (-float(len(rows) > rpt), -ratio(rows), seq,
-                              rows))
+        heapq.heappush(heap, (-float(len(rows) > max_leaf), -ratio(rows),
+                              seq, rows))
         seq += 1
 
     if len(idx_alive):
         push(idx_alive)
     n_leaves = 1 if len(idx_alive) else 0
-    while heap and n_leaves < n_tiles:
+    while heap and n_leaves < budget:
         must, nratio, _, rows = heap[0]
         if must == 0.0 and -nratio <= 1.0:
             break                        # everything fits
@@ -386,60 +366,119 @@ def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
         widths = (p.max(axis=0) - p.min(axis=0)) / cap
         ax = int(np.argmax(widths))
         half = len(rows) // 2
-        if len(rows) > rpt:
-            # size-mandated split: cut on an rpt multiple so the mandatory
-            # phase needs exactly ceil(n_alive/rpt) leaves — a plain median
-            # could demand up to 2x the tile budget
-            half = max(rpt, (half // rpt) * rpt)
+        if len(rows) > max_leaf:
+            # size-mandated split: cut on a max_leaf multiple so the
+            # mandatory phase needs exactly ceil(n_alive/max_leaf) leaves —
+            # a plain median could demand up to 2x the tile budget
+            half = max(max_leaf, (half // max_leaf) * max_leaf)
         part = np.argpartition(p[:, ax], half)
         push(rows[part[:half]])
         push(rows[part[half:]])
         n_leaves += 1
+    return [e[3] for e in heap]
+
+
+def two_class_bin_slots(key, alive, rpt_lo, n_tl, rpt_hi, n_th, capacity):
+    """Two-class capacity-aware partition over the [hi | lo] slot space.
+
+    Splits the alive rays into capacity-fitting leaves (see _split_leaves),
+    then assigns each leaf to a tile: leaves larger than a lo tile prefer a
+    hi tile (one wide launch at high occupancy beats several narrow ones —
+    per-tile kernel cost is latency-dominated), small leaves prefer lo
+    tiles (a wide tile wastes lanes on them). When a class runs out the
+    other absorbs the leaf (chunking big leaves along their widest axis
+    into lo tiles); as a last resort remaining rays are stuffed
+    capacity-blind into whatever slots are free — those bins may escape,
+    and the retry/tails absorb them, so placement never fails.
+
+    Returns (perm, park): perm is a permutation of row indices arranging
+    rays bin-major (hi tile t's leaf occupies slots [t*rpt_hi, ...); lo
+    tile t's at n_th*rpt_hi + t*rpt_lo), non-alive rows fill the remaining
+    slots; park marks those filler slots (the kernel freezes them via the
+    esc row and skips all-parked tiles)."""
+    n_tot = len(alive)
+    idx_alive = np.flatnonzero(alive)
+    cap = np.asarray(capacity, np.float64)
+    max_leaf = rpt_hi if n_th else rpt_lo
+
+    leaves = _split_leaves(key, idx_alive, max_leaf, cap, n_th + n_tl)
+    leaves.sort(key=len, reverse=True)
+
+    hi_bins, lo_bins, overflow = [], [], []
+    hi_left, lo_left = n_th, n_tl
+    for rows in leaves:
+        n = len(rows)
+        if n > rpt_lo and hi_left:
+            hi_bins.append(rows)
+            hi_left -= 1
+        elif n <= rpt_lo and lo_left:
+            lo_bins.append(rows)
+            lo_left -= 1
+        elif n <= rpt_hi and hi_left:
+            hi_bins.append(rows)
+            hi_left -= 1
+        elif lo_left:
+            # big leaf, hi exhausted: chunk along the widest axis so the
+            # sub-bins stay spatially tight
+            p = key[rows]
+            ax = int(np.argmax((p.max(axis=0) - p.min(axis=0)) / cap))
+            rows = rows[np.argsort(p[:, ax], kind="stable")]
+            need = -(-n // rpt_lo)
+            take = min(need, lo_left)
+            for c in range(take):
+                lo_bins.append(rows[c * rpt_lo:(c + 1) * rpt_lo])
+            lo_left -= take
+            if take < need:
+                overflow.append(rows[take * rpt_lo:])
+        else:
+            overflow.append(rows)
+    if overflow:
+        rest = np.concatenate(overflow)
+        pos = 0
+        while pos < len(rest) and hi_left:
+            hi_bins.append(rest[pos:pos + rpt_hi])
+            pos += rpt_hi
+            hi_left -= 1
+        while pos < len(rest) and lo_left:
+            lo_bins.append(rest[pos:pos + rpt_lo])
+            pos += rpt_lo
+            lo_left -= 1
+        if pos < len(rest):
+            raise RuntimeError(
+                f"slot budget exhausted: {len(rest) - pos} rays unplaced "
+                f"(n_th={n_th}, n_tl={n_tl})")
 
     perm = np.empty(n_tot, np.int64)
     park = np.ones(n_tot, bool)
     pool = np.flatnonzero(~alive)
     pool_pos = 0
-    t = 0
-    for _, _, _, rows in heap:
-        base = t * rpt
-        perm[base:base + len(rows)] = rows
-        park[base:base + len(rows)] = False
-        n_pad = rpt - len(rows)
-        perm[base + len(rows):base + rpt] = pool[pool_pos:pool_pos + n_pad]
-        pool_pos += n_pad
-        t += 1
-    rest = pool[pool_pos:]
-    perm[t * rpt:] = rest
+
+    def place(bins, region_base, width, n_tiles):
+        nonlocal pool_pos
+        t = 0
+        for rows in bins:
+            base = region_base + t * width
+            perm[base:base + len(rows)] = rows
+            park[base:base + len(rows)] = False
+            n_pad = width - len(rows)
+            perm[base + len(rows):base + width] = \
+                pool[pool_pos:pool_pos + n_pad]
+            pool_pos += n_pad
+            t += 1
+        n_rest = (n_tiles - t) * width
+        perm[region_base + t * width:region_base + n_tiles * width] = \
+            pool[pool_pos:pool_pos + n_rest]
+        pool_pos += n_rest
+
+    place(hi_bins, 0, rpt_hi, n_th)
+    place(lo_bins, n_th * rpt_hi, rpt_lo, n_tl)
     return perm, park
 
 
-def kd_bin_permutation(pos: np.ndarray, rpt: int,
-                       capacity=(1.0, 1.0, 1.0)) -> np.ndarray:
-    """Recursive median partition into spatially tight bins of `rpt` rays.
-
-    pos: (n, d) host array with n = rpt * 2^k so every leaf is exactly
-    full. Splits the axis with the largest width/capacity ratio, so leaves
-    respect anisotropic brick extents (the x-window is narrower than the
-    y/z brick). d may exceed 3: the driver bins on position AND the
-    predicted segment endpoint (6 columns) so that a tile's rays stay
-    together over the whole segment — position-only bins disintegrate near
-    reflection, where neighboring rays' wavevectors fan out and a tile
-    tight at segment start spreads far beyond any brick by segment end.
-    Returns the permutation ordering rays bin-major."""
-    cap = np.asarray(capacity, np.float64)
-
-    def split(idx):
-        if len(idx) <= rpt:
-            return [idx]
-        p = pos[idx]
-        widths = (p.max(axis=0) - p.min(axis=0)) / cap
-        ax = int(np.argmax(widths))
-        half = len(idx) // 2
-        part = np.argpartition(p[:, ax], half)
-        return split(idx[part[:half]]) + split(idx[part[half:]])
-
-    return np.concatenate(split(np.arange(pos.shape[0])))
+def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
+    """Single-class variable-occupancy capacity-aware partition (the
+    two-class binner with an empty hi region)."""
+    return two_class_bin_slots(key, alive, rpt, n_tiles, 0, 0, capacity)
 
 
 def _segment_plan(n_steps, record_stride, seg_records):
@@ -458,6 +497,20 @@ def _segment_plan(n_steps, record_stride, seg_records):
     return plan, n_records
 
 
+def _brick_capacity(grid, brick, dt, perturb_ratio, trace_crosssections):
+    """Usable brick extent (R_sun per axis) after the kernel's per-side
+    reload margin (check_every steps of motion + cross-section perturbation
+    reach + one interpolation cell, matching ops.pallas_trace._make_kernel),
+    duplicated for the predicted-endpoint columns of the 6-col bin key."""
+    reach = ((perturb_ratio + 5.0) if trace_crosssections else 5.0) \
+        * dt * C_R
+    steps_d = np.array([grid.dx, grid.dy, grid.dz])
+    marg = 1.0 + reach / steps_d
+    capacity = np.maximum(np.array(brick, np.float64) - 1.0 - 2.0 * marg,
+                          1.0) * steps_d
+    return np.concatenate([capacity, capacity])
+
+
 def iter_trace_segments(
     omega_pe_cube, ne_cube, te_cube, b_cube,
     grid: UniformGrid, freq_hz,
@@ -465,6 +518,7 @@ def iter_trace_segments(
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=128, seg_records=25, interpret=False, verbose=False,
     stats=None, mesh=None, brick=(BX, BY, BZ), tile_factor=4,
+    rpt_hi=512, hi_tile_slack=2.0, brick_hi=None,
 ):
     """Generator yielding (rps, 8, n_tot) device records per segment, rows
     [x,y,z,S,ne,te,b,pad], columns in ORIGINAL ray order (column i is ray
@@ -475,38 +529,56 @@ def iter_trace_segments(
     `stats` (optional dict) receives: 'tails' (list of TailGroup),
     'escaped' (total rays tailed), 'n_records', 'n_tot', 'plan'.
 
-    `mesh` (optional jax.sharding.Mesh with a 'rays' axis) partitions the
-    kernel over chips: ray tiles are sharded over the 'rays' axis with
-    shard_map (tiles are independent — the TPU equivalent of the
-    reference's ProcessPool ray chunks, resample_with_ray_tracing.py:
-    333-352), cubes are replicated, and the global re-binning permutation
-    rides XLA collectives over ICI.
+    `rpt_hi` enables the two-class layout (see module docstring) when the
+    image is large enough to fill wide tiles; set 0 to force single-class.
+    `brick_hi` selects the hi-region brick (default: `brick`); a taller
+    brick (e.g. by=16) lets wide coherent leaves fit one brick.
+
+    `mesh` (optional jax.sharding.Mesh with a 'rays' axis) partitions every
+    kernel launch over chips via shard_map; cubes are replicated and the
+    re-binning permutation rides XLA collectives over ICI.
     """
     n_rays = start.shape[0]
-    # rpt caps the max leaf size and sets the kernel lane width; floor 128
-    # for MXU/VPU lane efficiency. tile_factor over-allocates tile slots
-    # (n_tot = tile_factor * next_pow2(n_rays)) so the capacity-aware
-    # binner can run many small leaves when rays disperse into a 3-D
-    # volume — with a 1x budget a fixed-count binner is FORCED to build
-    # bins wider than a brick once local ray density drops below
-    # rpt / brick_volume, and every such bin escapes.
+    # rpt caps the max lo leaf size and sets the lo lane width; floor 128
+    # for MXU/VPU lane efficiency. tile_factor over-allocates lo tile slots
+    # (n_lo = tile_factor * next_pow2(n_rays)) so the capacity-aware binner
+    # can run many small leaves when rays disperse into a 3-D volume — with
+    # a 1x budget a fixed-count binner is FORCED to build bins wider than a
+    # brick once local ray density drops below rpt / brick_volume, and
+    # every such bin escapes.
     per64 = max(1, n_rays // 64)
     rpt = int(min(rpt, max(128, 1 << (per64.bit_length() - 1))))
-    n_tot = rpt
-    while n_tot < n_rays:
-        n_tot *= 2
-    n_tot *= max(1, int(tile_factor))
+    n_lo = rpt
+    while n_lo < n_rays:
+        n_lo *= 2
+    n_lo *= max(1, int(tile_factor))
     # floor of 32 tiles: small images otherwise get so few tiles that the
     # binner cannot isolate chaotic post-reflection rays (a 16^2 image at
     # 4 tiles measured 71% tail-out; at 32 tiles effectively none)
-    n_tot = max(n_tot, 32 * rpt)
+    n_lo = max(n_lo, 32 * rpt)
     n_shards = int(mesh.shape["rays"]) if mesh is not None else 1
     if n_shards > 1:
-        # every shard needs at least one tile
-        while n_tot // rpt < n_shards and rpt > 8:
+        # every shard needs at least one lo tile
+        while n_lo // rpt < n_shards and rpt > 8:
             rpt //= 2
-        n_tot = max(n_tot, rpt * n_shards)
-    n_tiles = n_tot // rpt
+        n_lo = max(n_lo, rpt * n_shards)
+    n_tl = n_lo // rpt
+    if n_shards > 1:                 # shard_map needs tiles % shards == 0
+        n_tl = -(-n_tl // n_shards) * n_shards
+        n_lo = n_tl * rpt
+
+    # hi region: only when the image can fill wide tiles (coherent leaves
+    # of rpt_hi rays exist at launch)
+    if rpt_hi and rpt_hi > rpt and n_rays >= 2 * rpt_hi:
+        n_th = int(np.ceil(hi_tile_slack * n_rays / rpt_hi))
+        n_th = -(-n_th // n_shards) * n_shards
+    else:
+        n_th, rpt_hi = 0, 0
+    n_hi = n_th * rpt_hi
+    n_tot = n_hi + n_lo
+    brick_lo = tuple(int(v) for v in brick)
+    brick_hi = brick_lo if brick_hi is None else tuple(int(v)
+                                                       for v in brick_hi)
 
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
     tcube, scube, k0 = _prepare_trace_inputs(
@@ -521,38 +593,14 @@ def iter_trace_segments(
     state_h[:n_rays, 3:6] = np.asarray(k0)
     state_h[:, 6] = 1.0
 
-    bx, by, bz = (int(v) for v in brick)
-
-    def seg_call(tc, sc, st, grid, rpt, rps, stride, first_block, dt,
-                 pr, xs, interp):
-        return run_trace_segment(tc, sc, st, grid, rpt, rps, stride,
-                                 first_block, dt, pr, xs, interp,
-                                 bx=bx, by=by, bz=bz)
-
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax import shard_map
-
         tcube, scube = (jax.device_put(c, NamedSharding(mesh, P()))
                         for c in (tcube, scube))
-        state_h = jax.device_put(
-            state_h, NamedSharding(mesh, P("rays", None)))
-
-        def seg_call(tc, sc, st, grid, rpt, rps, stride, first_block, dt,
-                     pr, xs, interp):
-            fn = shard_map(
-                lambda a, b, c: run_trace_segment(
-                    a, b, c, grid, rpt, rps, stride, first_block, dt, pr,
-                    xs, interp, bx=bx, by=by, bz=bz),
-                mesh=mesh,
-                in_specs=(P(), P(), P("rays", None, None)),
-                out_specs=PallasSegmentResult(
-                    state=P("rays", None, None),
-                    records=P("rays", None, None, None)),
-                check_vma=False)
-            return fn(tc, sc, st)
-
-    state = jnp.asarray(state_h)
+        state = jax.device_put(
+            jnp.asarray(state_h), NamedSharding(mesh, P("rays", None)))
+    else:
+        state = jnp.asarray(state_h)
 
     plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
     if stats is None:
@@ -561,21 +609,17 @@ def iter_trace_segments(
     stats["tails"] = []
     stats["n_records"] = n_records
     stats["n_tot"] = n_tot
+    stats["n_hi"] = n_hi
 
-    # state stays in the current segment's bin order; global_perm maps
-    # current row -> original ray index (composed across segments)
-    # kd capacity in R_sun per axis: usable brick extent after the kernel's
-    # per-side reload margin (check_every steps of motion + cross-section
-    # perturbation reach + one interpolation cell, matching
-    # ops.pallas_trace._make_kernel); duplicated for the predicted-endpoint
-    # columns of the 6-col bin key
-    reach = ((perturb_ratio + 5.0) if trace_crosssections else 5.0) \
-        * dt * C_R
-    steps_d = np.array([grid.dx, grid.dy, grid.dz])
-    marg = 1.0 + reach / steps_d
-    capacity = np.maximum(np.array([bx, by, bz]) - 1.0 - 2.0 * marg,
-                          1.0) * steps_d
-    capacity6 = np.concatenate([capacity, capacity])
+    # kd capacities in R_sun per axis per region (the binner splits with
+    # the HI capacity — hi bricks are at least as big — and hi-unfit
+    # leaves fall through to lo tiles whose escapes the retry absorbs;
+    # with one brick size the distinction vanishes)
+    cap_lo6 = _brick_capacity(grid, brick_lo, dt, perturb_ratio,
+                              trace_crosssections)
+    cap_hi6 = _brick_capacity(grid, brick_hi, dt, perturb_ratio,
+                              trace_crosssections) if n_th else cap_lo6
+    cap_split6 = cap_hi6 if n_th else cap_lo6
     bounds_lo = np.array(grid.origin, np.float32)
     bounds_hi = bounds_lo + np.array(
         [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
@@ -594,43 +638,49 @@ def iter_trace_segments(
                        axis=1) & ~parked
         return np.concatenate([pos, end], axis=1), alive
 
-    def bin_rays(rows_h, parked, force, path_len, prev_park):
-        """Capacity-aware variable-occupancy binning on the 6-column key.
-        Returns (perm, park) or None when the current binning still fits
-        the bricks comfortably (skips the re-permute)."""
-        key, alive = bin_key(rows_h, parked, path_len)
-        if not force and prev_park is not None:
-            act = (alive & ~prev_park).reshape(n_tiles, rpt)
-            bins = key.reshape(n_tiles, rpt, 6)
-            kmin = np.where(act[:, :, None], bins, np.inf).min(axis=1)
-            kmax = np.where(act[:, :, None], bins, -np.inf).max(axis=1)
-            empty = ~act.any(axis=1)
-            # 0.9: rebins are pure overhead on the single-core host; the
-            # device-side retry cleans up the extra escapes a near-full
-            # bin produces, so rebinding can wait until bins nearly burst
-            if np.all((kmax - kmin <= 0.9 * capacity6) | empty[:, None]):
-                return None
-        return capacity_bin_slots(key, alive, rpt, n_tiles, capacity6)
+    def bins_fit(key, act):
+        """True while the current binning still fits the bricks comfortably
+        (0.9 x capacity: rebins are pure overhead on the single-core host;
+        the device-side retry cleans up the extra escapes a near-full bin
+        produces, so rebinding can wait until bins nearly burst)."""
+        def region_ok(k, a, width, cap6):
+            if k.size == 0:
+                return True
+            kb = k.reshape(-1, width, 6)
+            ab = a.reshape(-1, width)
+            kmin = np.where(ab[:, :, None], kb, np.inf).min(axis=1)
+            kmax = np.where(ab[:, :, None], kb, -np.inf).max(axis=1)
+            empty = ~ab.any(axis=1)
+            return np.all((kmax - kmin <= 0.9 * cap6) | empty[:, None])
+        return (region_ok(key[:n_hi], act[:n_hi], rpt_hi, cap_hi6)
+                if n_th else True) \
+            and region_ok(key[n_hi:], act[n_hi:], rpt, cap_lo6)
 
-    tailed = np.zeros(n_tot, bool)      # sticky: once tailed, off-kernel
+    def bin_rays(rows_h, parked, force, path_len, prev_park):
+        """Two-class capacity-aware binning on the 6-column key. Returns
+        (perm, park) or None when the current binning still fits."""
+        key, alive = bin_key(rows_h, parked, path_len)
+        if not force and prev_park is not None \
+                and bins_fit(key, alive & ~prev_park):
+            return None
+        return two_class_bin_slots(key, alive, rpt, n_tl, rpt_hi, n_th,
+                                   cap_split6)
+
+    tailed = np.zeros(n_tot, bool)      # host mirror (stale by design)
     global_perm = np.arange(n_tot)
-    rec_base = 0
-    force_rebin = False
     park_slots = None                   # set by the first binning
     stats.setdefault("retried", 0)
     timers = stats.setdefault(
-        "phase_s", {"fetch": 0.0, "bin": 0.0, "kernel": 0.0, "esc": 0.0,
-                    "retry": 0.0})
+        "phase_s", {"fetch": 0.0, "bin": 0.0, "kernel": 0.0, "esc": 0.0})
     clock = _time.perf_counter
 
     # Pipelined binning: segment i+1's binning runs WHILE segment i's
     # kernel executes, using segment i's START state (whose device->host
     # copy was itself enqueued right after the kernel dispatch, so the
-    # 8 MB/segment transfer hides behind kernel execution instead of
-    # serializing with it — ~11 s of a 30 s trace at 256^2 through the
-    # ~30 MB/s tunnel). The bins applied to a segment are therefore one
-    # segment stale; the 2x prediction horizon below covers the extra
-    # motion and the fast-path retry absorbs the residual escapes.
+    # transfer hides behind kernel execution instead of serializing with
+    # it through the ~30 MB/s tunnel). The bins applied to a segment are
+    # therefore one segment stale; the 2x prediction horizon below covers
+    # the extra motion and the fast-path retry absorbs residual escapes.
     def horizon(fb, nrec):
         return 2.0 * (fb + (nrec - 1) * record_stride) * dt * C_R
 
@@ -641,204 +691,95 @@ def iter_trace_segments(
         return np.concatenate(
             [pos, (k / np.maximum(kn, 1e-30)).astype(np.float32)], axis=1)
 
-    next_bin = bin_rays(host_key6(np.asarray(state_h)), tailed, True,
+    next_bin = bin_rays(host_key6(state_h), tailed, True,
                         horizon(*plan[0]), None)
 
-    if mesh is None:
-        # ------------------------------------------------------------------
-        # Async loop: the host NEVER blocks on per-segment results. Each
-        # segment is three queued device programs (permute/park -> kernel ->
-        # device-side retry+merge); escape handling and tail bookkeeping
-        # live in device carries, read back ONCE after the whole trace. The
-        # only host reads are the f16 binning snapshots, which throttle the
-        # host to ~one segment behind the device — exactly the depth needed
-        # to bin segment i+1 while segment i executes.
-        # ------------------------------------------------------------------
-        ident = jnp.arange(n_tot, dtype=jnp.int32)
-        gperm_dev = ident
-        inv_dev = ident
-        tailed_dev = jnp.zeros(n_tot, bool)
-        tail_state = jnp.zeros((n_tot, 8), jnp.float32)
-        tail_seg = jnp.full(n_tot, -1, jnp.int32)
-        n_retried = jnp.int32(0)
-        rec_bases = np.concatenate(
-            [[0], np.cumsum([r for _, r in plan])[:-1]])
-        park_up = None
-
-        for seg_i, (first_block, rps) in enumerate(plan):
-            binres = next_bin
-            next_bin = None
-            if binres is not None:
-                local_np, park_slots = binres
-                global_perm = global_perm[local_np]
-                inv = np.empty(n_tot, np.int64)
-                inv[global_perm] = np.arange(n_tot)
-                local_dev = jnp.asarray(local_np.astype(np.int32))
-                gperm_dev = jnp.asarray(global_perm.astype(np.int32))
-                inv_dev = jnp.asarray(inv.astype(np.int32))
-                park_up = jnp.asarray(park_slots)
-            else:
-                local_dev = ident
-
-            t0 = clock()
-            seg_start, kstate, key16, park_dev = _pre_kernel_dev(
-                state, local_dev, park_up, tailed_dev, gperm_dev,
-                n_tiles, rpt)
-            try:
-                key16.copy_to_host_async()
-            except AttributeError:
-                pass
-            state_main, esc_dev, raw = _trace_graph2(
-                tcube, scube, kstate, grid, rpt, rps, record_stride,
-                first_block, float(dt), float(perturb_ratio),
-                trace_crosssections, interpret, bx, by, bz)
-            (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
-             _) = _retry_graph(
-                tcube, scube, seg_start, state_main, esc_dev, raw,
-                inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
-                n_retried, seg_i, grid, rpt, rps, record_stride,
-                first_block, float(dt), float(perturb_ratio),
-                trace_crosssections, interpret, bx, by, bz)
-            timers["kernel"] += clock() - t0
-            yield recs
-
-            if seg_i + 1 < len(plan):
-                t0 = clock()
-                key_host = np.asarray(key16, np.float32)
-                timers["fetch"] += clock() - t0
-                t0 = clock()
-                next_bin = bin_rays(key_host, tailed, False,
-                                    horizon(*plan[seg_i + 1]), park_slots)
-                timers["bin"] += clock() - t0
-
-        # single read-back of the tail carries
-        t0 = clock()
-        tail_seg_h = np.asarray(tail_seg)
-        stats["retried"] = int(np.asarray(n_retried))
-        tail_rows = np.flatnonzero(tail_seg_h >= 0)
-        stats["escaped"] = len(tail_rows)
-        if len(tail_rows):
-            tail_state_h = np.asarray(tail_state)
-            for k in np.unique(tail_seg_h[tail_rows]):
-                ids = np.flatnonzero(tail_seg_h == k)
-                stats["tails"].append(TailGroup(
-                    orig_ids=ids, state=tail_state_h[ids],
-                    rec_base=int(rec_bases[int(k)]),
-                    first_block=plan[int(k)][0]))
-            if verbose:
-                print(f"[pallas-trace] {stats['escaped']} rays left for "
-                      f"the one-shot XLA tail "
-                      f"({stats['retried']} fast-path ray retries)")
-        timers["esc"] += clock() - t0
-        return
-
-    def seg_exec(cur, local_np, pre_np, inv_np, tail_np, fb, nrec):
-            seg_start, kstate, key16 = _pre_kernel(
-                cur, None if local_np is None else
-                jnp.asarray(local_np.astype(np.int32)),
-                jnp.asarray(pre_np), n_tiles, rpt)
-            res = seg_call(
-                tcube, scube, kstate, grid, rpt, nrec, record_stride, fb,
-                float(dt), float(perturb_ratio), trace_crosssections,
-                interpret)
-            esc = _esc_row(res.state)
-            state2 = _post_kernel(res.state)
-            recs = _assemble_records(
-                res.records, jnp.asarray(inv_np.astype(np.int32)),
-                jnp.asarray(tail_np), nrec, n_tot)
-            return seg_start, key16, state2, esc, recs, res.records
+    # ----------------------------------------------------------------------
+    # Async loop: the host NEVER blocks on per-segment results. Each
+    # segment is three queued device programs (permute/park -> kernels ->
+    # device-side retry+merge); escape handling and tail bookkeeping live
+    # in device carries, read back ONCE after the whole trace. The only
+    # host reads are the f16 binning snapshots, which throttle the host to
+    # ~one segment behind the device — exactly the depth needed to bin
+    # segment i+1 while segment i executes. With `mesh`, the same programs
+    # run shard_mapped/GSPMD-partitioned over the 'rays' axis.
+    # ----------------------------------------------------------------------
+    ident = jnp.arange(n_tot, dtype=jnp.int32)
+    gperm_dev = ident
+    inv_dev = ident
+    tailed_dev = jnp.zeros(n_tot, bool)
+    tail_state = jnp.zeros((n_tot, 8), jnp.float32)
+    tail_seg = jnp.full(n_tot, -1, jnp.int32)
+    n_retried = jnp.int32(0)
+    rec_bases = np.concatenate(
+        [[0], np.cumsum([r for _, r in plan])[:-1]])
+    park_up = None
 
     for seg_i, (first_block, rps) in enumerate(plan):
         binres = next_bin
-        local_np = None
+        next_bin = None
         if binres is not None:
             local_np, park_slots = binres
             global_perm = global_perm[local_np]
-            tailed = tailed[local_np]
-        inv = np.empty(n_tot, np.int64)
-        inv[global_perm] = np.arange(n_tot)
+            inv = np.empty(n_tot, np.int64)
+            inv[global_perm] = np.arange(n_tot)
+            local_dev = jnp.asarray(local_np.astype(np.int32))
+            gperm_dev = jnp.asarray(global_perm.astype(np.int32))
+            inv_dev = jnp.asarray(inv.astype(np.int32))
+            park_up = jnp.asarray(park_slots)
+        else:
+            local_dev = ident
 
         t0 = clock()
-        # pre parks newly tailed rays even when the (stale) binning
-        # predates them
-        seg_start, key16, state, esc_dev, recs, raw_recs = seg_exec(
-            state, local_np, park_slots | tailed, inv, tailed[inv],
-            first_block, rps)
+        seg_start, khi, klo, key16, park_dev = _pre_kernel_dev(
+            state, local_dev, park_up, tailed_dev, gperm_dev,
+            n_th, rpt_hi, n_tl, rpt)
+        try:
+            key16.copy_to_host_async()
+        except AttributeError:
+            pass
+        state_main, esc_dev, raw_hi, raw_lo = _trace_graph(
+            tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt, rps,
+            record_stride, first_block, float(dt), float(perturb_ratio),
+            trace_crosssections, interpret, brick_hi, brick_lo)
+        (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
+         _) = _retry_graph(
+            tcube, scube, seg_start, state_main, esc_dev, raw_hi, raw_lo,
+            inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
+            n_retried, seg_i, mesh, grid, rpt_hi, rpt, n_tl, rps,
+            record_stride, first_block, float(dt), float(perturb_ratio),
+            trace_crosssections, interpret, brick_lo)
         timers["kernel"] += clock() - t0
+        yield recs
 
-        # overlap window: the host copy + next-segment binning ride the
-        # kernel's execution time
-        t0 = clock()
-        key_host = np.asarray(key16, np.float32)
-        timers["fetch"] += clock() - t0
-        t0 = clock()
         if seg_i + 1 < len(plan):
-            next_bin = bin_rays(key_host, tailed, force_rebin,
+            t0 = clock()
+            key_host = np.asarray(key16, np.float32)
+            timers["fetch"] += clock() - t0
+            t0 = clock()
+            next_bin = bin_rays(key_host, tailed, False,
                                 horizon(*plan[seg_i + 1]), park_slots)
-            force_rebin = False
-        timers["bin"] += clock() - t0
+            timers["bin"] += clock() - t0
 
-        t0 = clock()
-        esc_h = np.asarray(esc_dev)
-        timers["esc"] += clock() - t0
-        new = esc_h & ~tailed & ~park_slots
-
-        if not new.any():
-            yield recs
-            rec_base += rps
-            continue
-
-        # Fast-path retry: re-run just the escapees' segment from their
-        # seg-start states under a fresh capacity-aware binning (escapees
-        # alone => small tight leaves). Same kernel shapes as the main
-        # launch (parked slots skip), so no new compiles; the kernel only
-        # does work on the ~m escapee rays.
-        t0 = clock()
-        idx = np.flatnonzero(new)           # current-bin rows
-        m = len(idx)
-        stats["retried"] += m
-        sub_h = np.asarray(seg_start[jnp.asarray(idx)])       # (m, 8)
-        key_r = np.zeros((n_tot, 6))
-        key_r[idx], _ = bin_key(key_host[idx], np.zeros(m, bool),
-                                horizon(first_block, rps))
-        perm_r, park_r = capacity_bin_slots(key_r, new, rpt, n_tiles,
-                                            capacity6)
-        inv_r = np.empty(n_tot, np.int64)
-        inv_r[perm_r] = np.arange(n_tot)
-
-        _, _, retry_state, esc_r_dev, _, raw_recs_r = seg_exec(
-            seg_start, perm_r, park_r, inv, tailed[inv], first_block, rps)
-        esc_r = np.asarray(esc_r_dev)
-
-        # current rows whose retry escaped again -> one-shot XLA tails
-        rows_double = perm_r[np.flatnonzero(esc_r & ~park_r)]
-        if len(rows_double):
-            j_double = np.searchsorted(idx, rows_double)
+    # single read-back of the tail carries
+    t0 = clock()
+    tail_seg_h = np.asarray(tail_seg)
+    stats["retried"] = int(np.asarray(n_retried))
+    tail_rows = np.flatnonzero(tail_seg_h >= 0)
+    stats["escaped"] = len(tail_rows)
+    if len(tail_rows):
+        tail_state_h = np.asarray(tail_state)
+        for k in np.unique(tail_seg_h[tail_rows]):
+            ids = np.flatnonzero(tail_seg_h == k)
             stats["tails"].append(TailGroup(
-                orig_ids=global_perm[rows_double],
-                state=sub_h[j_double], rec_base=rec_base,
-                first_block=first_block))
-            stats["escaped"] += len(rows_double)
-            tailed[rows_double] = True
-            force_rebin = True
+                orig_ids=ids, state=tail_state_h[ids],
+                rec_base=int(rec_bases[int(k)]),
+                first_block=plan[int(k)][0]))
         if verbose:
-            print(f"[pallas-trace] segment at record {rec_base}: "
-                  f"{m} rays retried, {len(rows_double)} left for the "
-                  f"one-shot XLA tail")
-
-        use_retry = np.zeros(n_tot, bool)
-        use_retry[global_perm[idx]] = True
-        use_retry[global_perm[rows_double]] = False
-        retry_cols = inv_r[inv]             # orig -> retry slot
-        merge_src = np.where(new, inv_r, -1)
-        state = _merge_retry_state(state, retry_state,
-                                   jnp.asarray(merge_src.astype(np.int32)))
-        timers["retry"] += clock() - t0
-        yield _assemble_records_retry(
-            raw_recs, raw_recs_r, jnp.asarray(inv.astype(np.int32)),
-            jnp.asarray(retry_cols.astype(np.int32)), jnp.asarray(use_retry),
-            jnp.asarray(tailed[inv]), rps, n_tot)
-        rec_base += rps
+            print(f"[pallas-trace] {stats['escaped']} rays left for "
+                  f"the one-shot XLA tail "
+                  f"({stats['retried']} fast-path ray retries)")
+    timers["esc"] += clock() - t0
 
 
 def _pow2_at_least(n):
@@ -965,6 +906,7 @@ def trace_rays_pallas(
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=128, seg_records=25, interpret=False, verbose=False,
+    rpt_hi=512, brick_hi=None,
 ) -> PallasTraceResult:
     """Trace all rays with the fused Pallas kernel (cumulative-S semantics),
     assembling records on the host in original ray order. Records include
@@ -976,7 +918,8 @@ def trace_rays_pallas(
     for recs in iter_trace_segments(
             omega_pe_cube, ne_cube, te_cube, b_cube, grid, freq_hz,
             start, kdir, dt, n_steps, record_stride, trace_crosssections,
-            perturb_ratio, rpt, seg_records, interpret, verbose, stats):
+            perturb_ratio, rpt, seg_records, interpret, verbose, stats,
+            rpt_hi=rpt_hi, brick_hi=brick_hi):
         rps = recs.shape[0]
         if rec_host is None:
             rec_host = np.zeros((stats["n_records"], n_rays, 8), np.float32)

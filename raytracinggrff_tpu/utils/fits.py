@@ -110,6 +110,10 @@ _TFORM_DTYPE = {
     "D": np.dtype(">f8"),
 }
 
+# FITS logical columns store ASCII 'T'/'F' bytes, not 0/1
+def _decode_logical(arr):
+    return arr == ord("T")
+
 
 def read_fits_bintable(path, hdu_index=None):
     """Read the first (or hdu_index-th) BINTABLE extension.
@@ -152,6 +156,8 @@ def read_fits_bintable(path, hdu_index=None):
             width = dt.itemsize * repeat
             colbytes = table[:, offset:offset + width]
             arr = np.frombuffer(colbytes.tobytes(), dt).reshape(nrow, repeat)
+            if code == "L":
+                arr = _decode_logical(arr)
             cols[name] = arr[:, 0] if repeat == 1 else arr
             offset += width
         return cols
