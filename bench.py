@@ -121,6 +121,14 @@ def main():
             note(f"  segments {t_seg:.2f}s  tails {t_tail:.2f}s  "
                  f"retried {stats.get('retried', 0)} "
                  f"tailed {stats.get('escaped', 0)} rays")
+            ph = stats.get("phase_s", {})
+            note("  phases " + " ".join(f"{k}={v:.2f}s"
+                                        for k, v in ph.items()))
+            for reg in ("hi_occ", "lo_occ"):
+                occ = stats.get(reg)
+                if occ:
+                    note(f"  {reg} x{len(occ)}: "
+                         + " ".join(f"{v:.2f}" for v in occ))
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)

@@ -78,6 +78,17 @@ def build_parser():
     p.add_argument("--theta-deg", type=float, default=90.0,
                    help="Angle between B and the LOS in degrees "
                         "(Parms[4] contract; default: 90)")
+    p.add_argument("--theta-mode", type=str, default="fixed",
+                   choices=["fixed", "los"],
+                   help="'fixed': --theta-deg everywhere (reference "
+                        "behavior); 'los': per-voxel theta(B, k̂) sampled "
+                        "along each ray -> signed Stokes V maps")
+    p.add_argument("--gaunt", type=str, default="dulk",
+                   choices=["dulk", "exact"],
+                   help="Free-free Gaunt factor: 'dulk' (Dulk 1985 "
+                        "lnLambda, reference parity) or 'exact' "
+                        "(classical/Born; Dulk runs 1-13%% low, see "
+                        "grff/physics.py)")
     p.add_argument("--timestep", type=int, default=0,
                    help="Timestep index for multi-timestep model dirs")
     p.add_argument("--patch-nan", action="store_true",
@@ -96,7 +107,8 @@ def main(argv=None):
         nfreq=args.nfreq, freq0=args.freq,
         freq_log_step=args.freq_log_step,
         perturb_ratio=args.perturb_ratio, phi0_offset=args.phi0_offset,
-        mechanism=args.mechanism, theta_deg=args.theta_deg)
+        mechanism=args.mechanism, theta_deg=args.theta_deg,
+        theta_mode=args.theta_mode, gaunt=args.gaunt)
     run_ray_tracing_emission(
         model_path=args.model_path, config=cfg, out_path=args.out_path,
         save_plots=not args.no_plots, verbose=not args.quiet,

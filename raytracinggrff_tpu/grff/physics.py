@@ -48,6 +48,42 @@ from ..constants import C_CGS, FPE_COEF, FB_COEF, KB_CGS, M_E_G
 
 # kappa_ff prefactor, cm^-1 when nu in Hz, T in K, n in cm^-3 (Dulk 1985)
 KAPPA_FF_COEF = 9.786e-3
+
+# --- exact (classical/Born) free-free Gaunt factor, flag gaunt='exact' ---
+# First-principles bremsstrahlung opacity in the Rayleigh-Jeans limit:
+#   kappa = KAPPA_FF_EXACT_COEF * n_e n_i g(T, nu) / (T^{3/2} nu_eff^2 n_sigma)
+#   KAPPA_FF_EXACT_COEF = (4 e^6 / (3 m c k_B)) sqrt(2 pi / (3 k_B m))
+# with the frequency-averaged Gaunt factor (the same formulas the GRFF
+# binary's Fleishman & Kuznetsov 2021 code family uses):
+#   classical (low T):  g_cl = (sqrt3/pi) ln[(2 k T)^{3/2}/(pi e^2 m^{1/2}
+#                              e^gamma nu)]  (Scheuer 1960)
+#   Born (high T):      g_B  = (sqrt3/pi) ln[4 k T/(e^gamma h nu)] (Elwert)
+# joined by g = max(g_cl, g_B) (the crossover sits near T ~ 2-6e5 K for
+# 30-800 MHz). MEASURED DRIFT of the Dulk 1985 piecewise lnLambda used by
+# default (tests/test_gaunt.py keeps these numbers honest): Dulk kappa is
+# LOW by 1-13% over nu in [30, 800] MHz, T in [1e4, 2e6] K — worst 13% at
+# (1e4 K, 800 MHz), 0.8% at the 2e5 K branch switch, 4-7% for coronal
+# 1-2 MK plasma. Optically-thick brightness temperatures saturate to T_e,
+# so the T_b impact is well below the kappa drift; quiet-Sun map tests
+# measure < 2% T_b shift between the two. Default stays 'dulk' for strict
+# behavioral parity with the reference pipelines.
+_GAMMA_EULER = 0.5772156649015329
+SQRT3_OVER_PI = float(_np.sqrt(3.0) / _np.pi)
+
+
+def _exact_gaunt_constants():
+    from ..constants import C_CGS, E_ESU, H_ERG_S, KB_CGS, M_E_G
+    e, m, c, k, h = E_ESU, M_E_G, C_CGS, KB_CGS, H_ERG_S
+    coef = (4.0 * e ** 6 / (3.0 * m * c * k)) * _np.sqrt(
+        2.0 * _np.pi / (3.0 * k * m))
+    g_cl = _np.log((2.0 * k) ** 1.5
+                   / (_np.pi * e * e * _np.sqrt(m) * _np.exp(_GAMMA_EULER)))
+    g_born = _np.log(4.0 * k / (_np.exp(_GAMMA_EULER) * h))
+    return float(coef), float(g_cl), float(g_born)
+
+
+KAPPA_FF_EXACT_COEF, GAUNT_CL_CONST, GAUNT_BORN_CONST = \
+    _exact_gaunt_constants()
 # hydrogen Saha prefactor: n_e n_p / n_H = SAHA_COEF * T^1.5 * exp(-CHI_H/T)
 SAHA_COEF = 2.4147e15
 CHI_H_OVER_K = 1.5789e5       # 13.6 eV / k_B, K
@@ -134,12 +170,25 @@ def gyroresonance_kappa(ne, te, b, nu, theta_rad, sigma, s_max=30, xp=jnp):
     return pref * total
 
 
+def exact_gaunt(te, nu, xp=jnp):
+    """Frequency-averaged free-free Gaunt factor, max(classical, Born)
+    (see the derivation block above KAPPA_FF_EXACT_COEF)."""
+    ln_t = xp.log(te)
+    ln_nu = xp.log(nu)
+    g_cl = GAUNT_CL_CONST + 1.5 * ln_t - ln_nu
+    g_born = GAUNT_BORN_CONST + ln_t - ln_nu
+    return SQRT3_OVER_PI * xp.maximum(xp.maximum(g_cl, g_born), 0.0)
+
+
 def freefree_kappa(ne, te, b, nu, theta_rad, sigma,
-                   include_neutrals=True, zion_factor=1.0, xp=jnp):
+                   include_neutrals=True, zion_factor=1.0, xp=jnp,
+                   gaunt="dulk"):
     """Free-free absorption coefficient [cm^-1] for one magnetoionic mode.
 
     Returns (kappa, n_sigma_sq). Evanescent voxels (n^2 <= 0) return
     kappa = inf sentinel is NOT used; the caller must test n_sigma_sq <= 0.
+    gaunt: 'dulk' (reference-parity Dulk 1985 lnLambda, default) or
+    'exact' (classical/Born Gaunt factor, see module constants).
     """
     nu_p_sq = (FPE_COEF ** 2) * ne            # nu_p^2, Hz^2
     nu_b = FB_COEF * b
@@ -151,9 +200,14 @@ def freefree_kappa(ne, te, b, nu, theta_rad, sigma,
     eff_nu = nu + sigma * nu_b * xp.abs(xp.cos(theta_rad))
     eff_nu_sq = xp.maximum(eff_nu * eff_nu, 1e-30)
 
-    lnlam = coulomb_log(te, nu, xp=xp)
+    if gaunt == "exact":
+        coef = KAPPA_FF_EXACT_COEF
+        lnlam = exact_gaunt(te, nu, xp=xp)
+    else:
+        coef = KAPPA_FF_COEF
+        lnlam = coulomb_log(te, nu, xp=xp)
     t32 = te * xp.sqrt(te)
-    kappa = (KAPPA_FF_COEF * ne * (zion_factor * ne) * lnlam
+    kappa = (coef * ne * (zion_factor * ne) * lnlam
              / (n_sigma * eff_nu_sq * t32))
 
     if include_neutrals:

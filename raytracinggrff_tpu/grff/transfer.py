@@ -62,14 +62,26 @@ def log_spaced_freqs(freq0_hz, nfreq, freq_log_step, xp=np):
 
 
 def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
-                      mechanism=MECH_FREEFREE | MECH_NEUTRALS, s_max=30):
+                      mechanism=MECH_FREEFREE | MECH_NEUTRALS, s_max=30,
+                      gaunt="dulk"):
     """Build the per-voxel transfer update used by both the batch scan
     (grff_transfer) and the streaming pipeline (one segment at a time).
 
     Returned fn: (carry, ds_k, te_k, ne_k, b_k, mask_k, sarea_k[, theta_k])
     -> carry with carry = (flux_o, flux_x, tau_o, tau_x), each (n_pix, Nf).
     theta_k (radians, per-pixel) overrides the closure angle — the real
-    GET_MW ABI permits per-voxel theta in Parms[4]."""
+    GET_MW ABI permits per-voxel theta in Parms[4].
+
+    Handedness: theta is the angle between B and the wave vector, theta > 90
+    deg meaning B points against the propagation direction. The magnetoionic
+    opacities are symmetric under theta -> 180 - theta (they depend on
+    cos^2 and |cos|), but the OBSERVED circular handedness of the sigma = +1
+    mode flips with sign(B.k), so for cos(theta) < 0 the two output slots
+    swap per voxel. With the reference's fixed theta = 90 this is inert
+    (cos = 0), preserving exact parity with the Parms[4] = 90 contract
+    (resample_with_ray_tracing.py:489-501); with per-voxel theta it makes
+    flux_o - flux_x a signed Stokes-V proxy that reverses across a magnetic
+    polarity inversion line."""
     freqs = jnp.asarray(freqs, jnp.float32)
     theta0 = jnp.float32(np.deg2rad(theta_deg))
     include_ff = bool(mechanism & MECH_FREEFREE)
@@ -94,10 +106,10 @@ def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
                 * inv_au_sq)[:, None]
         nu = freqs[None, :]
 
-        def mode(sigma, f, t_sum):
+        def coeffs(sigma):
             kappa, n2 = freefree_kappa(
                 ne_s, te_s, b_s, nu, theta, sigma,
-                include_neutrals=include_neutrals, xp=jnp)
+                include_neutrals=include_neutrals, xp=jnp, gaunt=gaunt)
             if not include_ff:
                 kappa = jnp.zeros_like(kappa)
             if include_gr:
@@ -106,6 +118,24 @@ def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
             tau = jnp.where(m, kappa * ds_s, 0.0)
             tau = jnp.where(jnp.isfinite(tau), tau, 0.0)
             evan = m & (n2 <= 0.0)
+            return tau, evan
+
+        tau_p, evan_p = coeffs(O_MODE)
+        tau_m, evan_m = coeffs(X_MODE)
+        if theta_k is None:
+            tau_os, evan_os, tau_xs, evan_xs = tau_p, evan_p, tau_m, evan_m
+        else:
+            # B against k: handedness flips. The dead zone absorbs the
+            # float32 arccos/cos round-trip at exactly perpendicular B
+            # (cos(arccos(0f)) ~ -4e-8), where handedness is physically
+            # undefined anyway.
+            swap = jnp.cos(theta) < -1e-6
+            tau_os = jnp.where(swap, tau_m, tau_p)
+            evan_os = jnp.where(swap, evan_m, evan_p)
+            tau_xs = jnp.where(swap, tau_p, tau_m)
+            evan_xs = jnp.where(swap, evan_p, evan_m)
+
+        def apply(f, t_sum, tau, evan):
             att = jnp.exp(-tau)
             emit = -jnp.expm1(-tau)
             src = te_s * src_coef[None, :] * area
@@ -114,8 +144,8 @@ def make_voxel_update(freqs, pixel_area_cm2, theta_deg=90.0,
             t_new = jnp.where(evan, jnp.inf, t_sum + tau)
             return f_new, t_new
 
-        f_o, t_o = mode(O_MODE, f_o, t_o)
-        f_x, t_x = mode(X_MODE, f_x, t_x)
+        f_o, t_o = apply(f_o, t_o, tau_os, evan_os)
+        f_x, t_x = apply(f_x, t_x, tau_xs, evan_xs)
         return (f_o, f_x, t_o, t_x)
 
     return update
@@ -138,24 +168,30 @@ def grff_transfer(
     theta_deg=90.0,        # scalar, (Nz,), or (Nz, n_pix) degrees
     mechanism: int = MECH_FREEFREE | MECH_NEUTRALS,
     s_max: int = 30,       # max gyro harmonic (Parms[7] contract)
+    gaunt: str = "dulk",   # free-free Gaunt: 'dulk' (ref parity) | 'exact'
 ) -> GrffResult:
     theta_arr = None
     if np.ndim(theta_deg) > 0:
-        # per-voxel theta (the real GET_MW ABI allows Parms[4] to vary)
-        theta_arr = np.deg2rad(np.broadcast_to(
-            np.asarray(theta_deg, np.float32).reshape(
+        # per-voxel theta (the real GET_MW ABI allows Parms[4] to vary);
+        # jnp keeps device arrays on device (the ray pipeline passes a
+        # (n_records, n_rays) theta block computed from the traced B.k)
+        theta_arr = jnp.deg2rad(jnp.broadcast_to(
+            jnp.asarray(theta_deg, jnp.float32).reshape(
                 (-1, 1) if np.ndim(theta_deg) == 1 else np.shape(theta_deg)),
-            np.shape(ds))).astype(np.float32)
+            np.shape(ds))).astype(jnp.float32)
         theta_deg = -1.0   # unused; keeps the jit cache key stable
     return _grff_transfer_jit(ds, te, ne, b, valid, freqs_hz,
                               pixel_area_cm2, s_area_cm2, theta_arr,
-                              float(theta_deg), int(mechanism), int(s_max))
+                              float(theta_deg), int(mechanism), int(s_max),
+                              str(gaunt))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mechanism", "theta_deg", "s_max"))
+                   static_argnames=("mechanism", "theta_deg", "s_max",
+                                    "gaunt"))
 def _grff_transfer_jit(ds, te, ne, b, valid, freqs_hz, pixel_area_cm2,
-                       s_area_cm2, theta_rad, theta_deg, mechanism, s_max):
+                       s_area_cm2, theta_rad, theta_deg, mechanism, s_max,
+                       gaunt="dulk"):
     ds = jnp.asarray(ds, jnp.float32)
     te = jnp.asarray(te, jnp.float32)
     ne = jnp.asarray(ne, jnp.float32)
@@ -171,7 +207,7 @@ def _grff_transfer_jit(ds, te, ne, b, valid, freqs_hz, pixel_area_cm2,
         s_area_cm2 = jnp.asarray(s_area_cm2, jnp.float32)
 
     update = make_voxel_update(freqs, pixel_area_cm2, theta_deg,
-                               mechanism, s_max)
+                               mechanism, s_max, gaunt)
 
     def voxel_step(carry, xs):
         ds_k, te_k, ne_k, b_k, valid_k, sarea_k = xs[:6]
@@ -246,12 +282,15 @@ def get_mw(lparms, rparms, parms):
 
 def get_mw_slice(ds, te, ne, b, valid, freq0_hz, nfreq, freq_log_step,
                  pixel_area_cm2, s_area_cm2=None, theta_deg=90.0,
-                 mechanism=MECH_FREEFREE | MECH_NEUTRALS):
+                 mechanism=MECH_FREEFREE | MECH_NEUTRALS, gaunt="dulk"):
     """Batched all-pixels transfer (fastGRFF get_mw_slice equivalent,
     ref: script/resample_with_ray_tracing.py:400-466) minus the GPU heap
-    bookkeeping — arrays stay on device."""
+    bookkeeping — arrays stay on device. theta_deg may be a scalar or a
+    per-voxel (Nz,) / (Nz, n_pix) array (Parms[4] contract)."""
     freqs = log_spaced_freqs(float(freq0_hz), int(nfreq),
                              float(freq_log_step))
+    if np.ndim(theta_deg) == 0:
+        theta_deg = float(theta_deg)
     return grff_transfer(ds, te, ne, b, valid, freqs, pixel_area_cm2,
-                         s_area_cm2=s_area_cm2, theta_deg=float(theta_deg),
-                         mechanism=int(mechanism))
+                         s_area_cm2=s_area_cm2, theta_deg=theta_deg,
+                         mechanism=int(mechanism), gaunt=gaunt)

@@ -71,7 +71,7 @@ def _tent_weights(l, n_rows, rows):
 
 def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, nx_pad,
-                 bx=BX, by=BY, bz=BZ, check_every=4):
+                 bx=BX, by=BY, bz=BZ, check_every=4, nch_s=NCH):
     nx, ny, nz = grid.shape
     inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
     x0, y0, z0 = (np.float32(v) for v in grid.origin)
@@ -80,6 +80,7 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     c_r = np.float32(C_R)
     pr = np.float32(perturb_ratio)
     bzc = bz * NCH
+    bzc_s = bz * nch_s
     # Per-axis reload margin in cells: everything that can poke beyond the
     # ACTIVE bbox before the next bounds check — check_every steps of
     # motion (<= dt*C_R each), the cross-section perturbation offset
@@ -100,23 +101,24 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     def to_frac(px, py, pz):
         return ((px - x0) * inv_dx, (py - y0) * inv_dy, (pz - z0) * inv_dz)
 
-    def brick_sample(win_ref, lx, ly, lz, n_rows):
+    def brick_sample(win_ref, lx, ly, lz, n_rows, nch=NCH):
         """Trilinear sample of a (by, bz*C, bx) x-window at local coords
-        (1, R) each. Returns NCH (1, R) channel rows; out-of-window rows
+        (1, R) each. Returns nch (1, R) channel rows; out-of-window rows
         give 0."""
         wx = _tent_weights(lx, n_rows, bx)           # (bx, R)
         wy = _tent_weights(ly, n_rows, by)           # (by, R)
         wz = _tent_weights(lz, n_rows, bz)           # (bz, R)
 
-        a = win_ref[:].reshape(by * bzc, bx)         # (by*bz*C, bx)
+        bzc_l = bz * nch
+        a = win_ref[:].reshape(by * bzc_l, bx)       # (by*bz*C, bx)
         t1 = jax.lax.dot_general(                    # (by*bz*C, R)
             a, wx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        t1 = t1.reshape(by, bzc, n_rows)             # (by, bz*C, R)
+        t1 = t1.reshape(by, bzc_l, n_rows)           # (by, bz*C, R)
         t2 = jnp.sum(t1 * wy[:, None, :], axis=0)    # (bz*C, R)
-        t2 = t2.reshape(bz, NCH, n_rows)             # fused axis is z-major
+        t2 = t2.reshape(bz, nch, n_rows)             # fused axis is z-major
         t3 = jnp.sum(t2 * wz[:, None, :], axis=0)    # (C, R)
-        return t3[0:1], t3[1:2], t3[2:3], t3[3:4]
+        return tuple(t3[c:c + 1] for c in range(nch))
 
     def kernel(tcube, scube, state_in, state_out, rec_out,
                tbrick, sbrick, twin, swin, orig_ref, sem):
@@ -182,7 +184,7 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                 cp1.start()
                 cp1.wait()
                 cp2 = pltpu.make_async_copy(
-                    scube.at[pl.ds(noy, by), pl.ds(noz * NCH, bzc), :],
+                    scube.at[pl.ds(noy, by), pl.ds(noz * nch_s, bzc_s), :],
                     sbrick, sem)
                 cp2.start()
                 cp2.wait()
@@ -303,7 +305,8 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             px, py, pz, kx, ky, kz, cums, esc = carry
             fx, fy, fz = to_frac(px, py, pz)
             lx, ly, lz = local_xyz(fx, fy, fz)
-            ne_v, te_v, b_v, _ = brick_sample(swin, lx, ly, lz, rpt)
+            sv = brick_sample(swin, lx, ly, lz, rpt, nch=nch_s)
+            ne_v, te_v, b_v = sv[0], sv[1], sv[2]
             inb = inbounds(fx, fy, fz)
             in_brick = ((lx >= 0) & (lx <= bx - 1) & (ly >= 0)
                         & (ly <= by - 1) & (lz >= 0) & (lz <= bz - 1))
@@ -312,8 +315,20 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
             te_v = jnp.where(good, te_v, np.float32(FILL_TE))
             b_v = jnp.where(good, b_v, np.float32(FILL_B))
             esc = jnp.maximum(esc, (inb & ~in_brick).astype(jnp.float32))
+            if nch_s >= 6:
+                # channels 3:6 carry the image-frame Cartesian B vector:
+                # record the SIGNED cos(theta) between B and the local wave
+                # vector (theta_mode='los'; Parms[4] per-voxel contract)
+                bvx, bvy, bvz = sv[3], sv[4], sv[5]
+                bdk = bvx * kx + bvy * ky + bvz * kz
+                bn = jnp.sqrt(bvx * bvx + bvy * bvy + bvz * bvz)
+                kn = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+                cos_t = bdk / jnp.maximum(bn * kn, np.float32(1e-30))
+                last = jnp.where(good, jnp.clip(cos_t, -1.0, 1.0), 0.0)
+            else:
+                last = jnp.zeros_like(px)
             rec = jnp.concatenate([px, py, pz, cums, ne_v, te_v, b_v,
-                                   jnp.zeros_like(px)], axis=0)
+                                   last], axis=0)
             rec_out[0, pl.ds(b_idx, 1)] = rec[None]
             return px, py, pz, kx, ky, kz, cums, esc
 
@@ -387,16 +402,18 @@ class PallasSegmentResult(NamedTuple):
     jax.jit,
     static_argnames=("grid", "rpt", "rps", "stride", "first_block", "dt",
                      "perturb_ratio", "trace_crosssections", "interpret",
-                     "bx", "by", "bz"))
+                     "bx", "by", "bz", "sample_channels"))
 def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
                       stride, first_block, dt, perturb_ratio,
                       trace_crosssections=True, interpret=False,
-                      bx=BX, by=BY, bz=BZ):
+                      bx=BX, by=BY, bz=BZ, sample_channels=NCH):
     """Run one trace segment: `rps` record-blocks over all ray tiles.
 
-    tcube/scube: (ny, nz*4, nx) fused-layout cubes (see pack_cube_zc).
+    tcube/scube: (ny, nz*C, nx) fused-layout cubes (see pack_cube_zc);
+    scube carries `sample_channels` channels (4: ne,te,b,pad — or 8:
+    ne,te,b,bx,by,bz,pad,pad for theta_mode='los').
     state: (n_tiles, 8, rpt) rows [rx,ry,rz,kx,ky,kz,cumS,escaped].
-    Records rows: [x, y, z, S, ne, te, b, pad].
+    Records rows: [x, y, z, S, ne, te, b, cos_theta(B,k) or 0].
     bx/by/bz select the brick size: the default fits tight ray bundles
     cheaply (the x-contraction matmul costs by*bz*NCH*bx MACs per ray per
     sample); larger bricks track spatially diffuse bundles at higher cost.
@@ -404,9 +421,10 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     n_tiles = state.shape[0]
     nx_pad = tcube.shape[2]
     bzc = bz * NCH
+    bzc_s = bz * sample_channels
     kernel = _make_kernel(grid, rpt, rps, stride, first_block, float(dt),
                           float(perturb_ratio), trace_crosssections, nx_pad,
-                          bx, by, bz)
+                          bx, by, bz, nch_s=sample_channels)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -428,9 +446,9 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
         ],
         scratch_shapes=[
             pltpu.VMEM((by, bzc, nx_pad), jnp.float32),  # full-x staging
-            pltpu.VMEM((by, bzc, nx_pad), jnp.float32),
+            pltpu.VMEM((by, bzc_s, nx_pad), jnp.float32),
             pltpu.VMEM((by, bzc, bx), jnp.float32),      # x-windows
-            pltpu.VMEM((by, bzc, bx), jnp.float32),
+            pltpu.VMEM((by, bzc_s, bx), jnp.float32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -439,17 +457,20 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     return PallasSegmentResult(state=out[0], records=out[1])
 
 
-def pack_cube_zc(*channels):
-    """Pack up to 4 cubes (nx,ny,nz) into the (ny, nz*4, nx_pad) kernel
-    layout: x innermost (so brick contractions avoid lane-dim reshapes) and
-    zero-padded to a multiple of 128 (Mosaic requires lane-dim DMA slices to
-    be 128-aligned; padded nodes get zero tent weight for any in-cube ray)."""
+def pack_cube_zc(*channels, nch=NCH):
+    """Pack up to `nch` cubes (nx,ny,nz) into the (ny, nz*nch, nx_pad)
+    kernel layout: x innermost (so brick contractions avoid lane-dim
+    reshapes) and zero-padded to a multiple of 128 (Mosaic requires
+    lane-dim DMA slices to be 128-aligned; padded nodes get zero tent
+    weight for any in-cube ray)."""
     cubes = [jnp.asarray(c, jnp.float32) for c in channels]
-    while len(cubes) < NCH:
+    if len(cubes) > nch:
+        raise ValueError(f"{len(cubes)} channels > nch={nch}")
+    while len(cubes) < nch:
         cubes.append(jnp.zeros_like(cubes[0]))
-    stacked = jnp.stack(cubes, axis=-1)          # (nx, ny, nz, 4)
+    stacked = jnp.stack(cubes, axis=-1)          # (nx, ny, nz, nch)
     nx, ny, nz, _ = stacked.shape
-    out = jnp.transpose(stacked, (1, 2, 3, 0)).reshape(ny, nz * NCH, nx)
+    out = jnp.transpose(stacked, (1, 2, 3, 0)).reshape(ny, nz * nch, nx)
     nx_pad = -(-nx // 128) * 128
     if nx_pad != nx:
         out = jnp.pad(out, ((0, 0), (0, 0), (0, nx_pad - nx)))

@@ -21,6 +21,7 @@ same jitted graph over chips.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 
 import numpy as np
@@ -58,12 +59,48 @@ def _finalize_cubes(ne_raw, te_raw, br, bt, bp):
             b.astype(f32))
 
 
+@functools.partial(jax.jit, static_argnames=("grid",))
+def _bvec_image_cubes(br, bt, bp, grid: UniformGrid):
+    """Rotate the resampled spherical B components into IMAGE-frame
+    Cartesian cubes (bx, by, bz) on the uniform grid nodes.
+
+    The MAS polar axis is the image +y axis and MAS Cartesian is
+    (x, -z, y) of the image frame (coords.image_xyz_to_mas_sph,
+    ref convention build_rays.py:93), so the spherical unit vectors at a
+    node (x, y, z) expressed in the image frame are
+        r̂ = (x, y, z)/r
+        θ̂ = (x·y, -ρ², z·y) / (r·ρ),   ρ = sqrt(x² + z²)
+        φ̂ = (z, 0, -x) / ρ
+    and B_img = br·r̂ + bt·θ̂ + bp·φ̂. The longitude offset only selects
+    WHICH MAS values were sampled; it does not enter the basis. Nodes on
+    the polar axis (ρ = 0) get the (measure-zero) ρ -> eps limit."""
+    xs, ys, zs = (np.asarray(a, np.float32) for a in grid.axes())
+    x = jnp.asarray(xs)[:, None, None]
+    y = jnp.asarray(ys)[None, :, None]
+    z = jnp.asarray(zs)[None, None, :]
+    r = jnp.sqrt(x * x + y * y + z * z)
+    rho = jnp.sqrt(x * x + z * z)
+    r_s = jnp.maximum(r, 1e-12)
+    rho_s = jnp.maximum(rho, 1e-12)
+    br = jnp.nan_to_num(br, nan=0.0)
+    bt = jnp.nan_to_num(bt, nan=0.0)
+    bp = jnp.nan_to_num(bp, nan=0.0)
+    bx = br * (x / r_s) + bt * (x * y / (r_s * rho_s)) + bp * (z / rho_s)
+    by = br * (y / r_s) + bt * (-rho / r_s)
+    bz = br * (z / r_s) + bt * (z * y / (r_s * rho_s)) + bp * (-x / rho_s)
+    f32 = jnp.float32
+    return bx.astype(f32), by.astype(f32), bz.astype(f32)
+
+
 def prepare_cubes(model: MASModel, grid: UniformGrid, phi0_offset_deg=0.0,
-                  verbose=True):
+                  verbose=True, keep_bvec=False):
     """Resample the five MAS variables into the four pipeline cubes.
 
     Returns dict with omega_pe (rad/s), ne (cm^-3), te (K), b (G) as jnp
-    float32 cubes (ref: resample_with_ray_tracing.py:267-293).
+    float32 cubes (ref: resample_with_ray_tracing.py:267-293). With
+    keep_bvec, also "bvec": image-frame Cartesian (bx, by, bz) component
+    cubes for theta_mode='los' (the reference discards the B direction and
+    hardwires theta = 90, resample_with_ray_tracing.py:489-501).
     """
     temp_var = model.temperature_variable()
     for v in ("br", "bt", "bp"):
@@ -81,7 +118,10 @@ def prepare_cubes(model: MASModel, grid: UniformGrid, phi0_offset_deg=0.0,
                                 fill_nan=None)
            for v in ("rho", temp_var, "br", "bt", "bp")]
     omega_pe, ne, te, b = _finalize_cubes(*raw)
-    return {"omega_pe": omega_pe, "ne": ne, "te": te, "b": b}
+    cubes = {"omega_pe": omega_pe, "ne": ne, "te": te, "b": b}
+    if keep_bvec:
+        cubes["bvec"] = _bvec_image_cubes(raw[2], raw[3], raw[4], grid)
+    return cubes
 
 
 def image_ray_starts(n_pix, x_fov, z_observer):
@@ -127,6 +167,10 @@ class RayEmissionConfig:
     phi0_offset: float = 0.0
     mechanism: int = 1 + 4         # free-free + neutral-H (Parms[6] contract)
     theta_deg: float = 90.0        # Parms[4] contract
+    theta_mode: str = "fixed"      # 'fixed': theta_deg everywhere;
+    # 'los': per-voxel theta(B, k̂) sampled along rays -> signed Stokes V
+    gaunt: str = "dulk"            # free-free Gaunt: 'dulk' (reference
+    # parity, default) | 'exact' (classical/Born, grff/physics.py)
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
     rays_per_tile: int = 128       # pallas lo-region tile size (lane width)
@@ -163,10 +207,19 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
         if verbose:
             print(msg)
 
+    if cfg.theta_mode not in ("fixed", "los"):
+        raise ValueError(f"theta_mode must be 'fixed' or 'los', "
+                         f"got {cfg.theta_mode!r}")
+    need_bvec = cfg.theta_mode == "los"
     grid = UniformGrid.cube(cfg.grid_extent, cfg.grid_n)
     if cubes is None:
         model = MASModel(model_path, timestep=timestep)
-        cubes = prepare_cubes(model, grid, cfg.phi0_offset, verbose=verbose)
+        cubes = prepare_cubes(model, grid, cfg.phi0_offset, verbose=verbose,
+                              keep_bvec=need_bvec)
+    if need_bvec and "bvec" not in cubes:
+        raise ValueError(
+            "theta_mode='los' needs B-vector cubes: pass cubes from "
+            "prepare_cubes(..., keep_bvec=True) or a model_path")
 
     xs, ys, start, kdir = image_ray_starts(cfg.n_pix, cfg.x_fov,
                                            cfg.z_observer)
@@ -187,13 +240,15 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
 
     sampled = None
     if backend == "pallas":
-        flux_o, flux_x = _streamed_trace_transfer(
+        flux_o, flux_x, sampled = _streamed_trace_transfer(
             cubes, grid, cfg, start, kdir, frequencies_hz,
-            pixel_area_cm2, log, verbose, mesh=mesh)
+            pixel_area_cm2, log, verbose, mesh=mesh,
+            collect_center=save_plots)
     else:
         trace_table = pack_trace_table(cubes["omega_pe"], grid)
-        model_table = pack_model_table(cubes["ne"], cubes["te"],
-                                       cubes["b"])
+        model_table = pack_model_table(cubes["ne"], cubes["te"], cubes["b"],
+                                       bvec=cubes.get("bvec")
+                                       if need_bvec else None)
         if mesh is not None:
             from .parallel.mesh import shard_rays
             start = shard_rays(start, mesh)
@@ -210,11 +265,14 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
             f"{'S on' if cfg.s_input_on else 'S off'})...")
         s_area = (sampled.s * jnp.float32(pixel_area_cm2)
                   if cfg.s_input_on else None)
+        theta = cfg.theta_deg
+        if need_bvec:
+            theta = jnp.degrees(jnp.arccos(sampled.cos_theta))
         res = get_mw_slice(sampled.ds, sampled.te, sampled.ne, sampled.b,
                            sampled.valid_mask, freq0, cfg.nfreq,
                            cfg.freq_log_step, pixel_area_cm2,
-                           s_area_cm2=s_area, theta_deg=cfg.theta_deg,
-                           mechanism=cfg.mechanism)
+                           s_area_cm2=s_area, theta_deg=theta,
+                           mechanism=cfg.mechanism, gaunt=cfg.gaunt)
         flux_o, flux_x = res.flux_o, res.flux_x
 
     intensity = flux_o + flux_x                              # (n_rays, Nf)
@@ -256,29 +314,40 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
         save_emission_plot(result, cfg.n_pix, cfg.x_fov, out_path,
                            consider_beam=consider_beam, beam_fwhm=beam_fwhm)
         if sampled is not None:
-            # per-ray LOS diagnostics exist only on the XLA (record) path;
-            # the streamed pallas path never materializes them
-            save_center_pixel_plot(sampled, cfg.n_pix, out_path)
+            # the streamed pallas path materializes only the inspection
+            # ray's LOS column (a 1-column LosSamples); the XLA path has
+            # all rays
+            one_col = np.ndim(sampled.ne) == 2 and sampled.ne.shape[1] == 1
+            save_center_pixel_plot(sampled, cfg.n_pix, out_path,
+                                   p_index=0 if one_col else None)
     return result
 
 
 def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
-                             pixel_area_cm2, log, verbose, mesh=None):
+                             pixel_area_cm2, log, verbose, mesh=None,
+                             collect_center=False):
     """Pallas path: stream trace segments straight into the radiative-
     transfer carry on device. Records arrive in original ray order and
     never cross the host boundary; rays that left the fast path are
     finished by one-shot XLA tail traces whose records update gathered
     carry rows on device. With `mesh`, ray tiles run under shard_map over
     the 'rays' axis and the transfer carry is sharded (rays x freq).
-    Returns host (flux_o, flux_x), (n_rays, Nf)."""
+    theta_mode='los' streams the kernel's recorded cos(theta(B, k̂))
+    (record row 7) into the per-voxel theta of the transfer update.
+    Returns (flux_o, flux_x, center_los): host (n_rays, Nf) fluxes and —
+    when collect_center — a 1-column LosSamples of the reference's
+    inspection pixel (resample_with_ray_tracing.py:552-604), else None."""
     from .grff.transfer import make_voxel_update, transfer_carry_init
+    from .sampler import LosSamples
     from .tracer_pallas import iter_tail_traces, iter_trace_segments
 
     freqs = jnp.asarray(frequencies_hz, jnp.float32)
     nf = freqs.shape[0]
     update = make_voxel_update(freqs, pixel_area_cm2, cfg.theta_deg,
-                               cfg.mechanism)
+                               cfg.mechanism, gaunt=cfg.gaunt)
     s_on = bool(cfg.s_input_on)
+    theta_los = cfg.theta_mode == "los"
+    bvec = cubes.get("bvec") if theta_los else None
     area32 = jnp.float32(pixel_area_cm2)
     scale = jnp.float32(R_SUN_CM)
 
@@ -294,11 +363,19 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             dsv = jnp.sqrt(jnp.sum((psafe - prev) ** 2, axis=1)) * scale
             dsv = jnp.where(valid, dsv, 0.0)
             sarea = s * area32 if s_on else jnp.zeros_like(s)
-            tc = update(tc, dsv, rec[5], rec[4], rec[6], valid, sarea)
+            theta_k = (jnp.arccos(jnp.clip(rec[7], -1.0, 1.0))
+                       if theta_los else None)
+            tc = update(tc, dsv, rec[5], rec[4], rec[6], valid, sarea,
+                        theta_k)
             return (tc, psafe), None
 
         (tc, prev), _ = jax.lax.scan(body, (tcarry, prev_pos), recs)
         return tc, prev
+
+    # the reference's LOS-inspection pixel (resample_with_ray_tracing.py:554)
+    n_pix = cfg.n_pix
+    p_center = (int(n_pix * 0.7) // 2) * n_pix + ((n_pix - 1) // 2)
+    center_segs = []        # lazy device (rps, 8) slices; read after loop
 
     stats = {}
     carry = None
@@ -310,7 +387,8 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
             seg_records=cfg.seg_records, interpret=cfg.pallas_interpret,
             verbose=verbose, stats=stats, mesh=mesh,
-            tile_factor=cfg.tile_factor, rpt_hi=cfg.rays_per_tile_hi):
+            tile_factor=cfg.tile_factor, rpt_hi=cfg.rays_per_tile_hi,
+            bvec=bvec):
         if carry is None:
             n_tot = recs.shape[2]
             carry = transfer_carry_init(n_tot, int(nf))
@@ -326,16 +404,19 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
                     for c in carry)
                 prev_pos = jax.device_put(
                     prev_pos, NamedSharding(mesh, P("rays", None)))
+        if collect_center:
+            center_segs.append(recs[:, :, p_center])
         carry, prev_pos = stream_seg(carry, prev_pos, recs)
 
     # One-shot tails: a tailed ray's carry row froze at its escape (its
     # later segment records are inert), so gathering the row now and
     # replaying the tail records against it completes that ray exactly.
+    center_tail = None      # (rec_base, (H, 8) rows) patch for the center
     flux_o = flux_x = None
-    for ids_c, _, recs_t in iter_tail_traces(
+    for ids_c, bases_c, recs_t in iter_tail_traces(
             stats, cubes["omega_pe"], cubes["ne"], cubes["te"], cubes["b"],
             grid, cfg.dt, cfg.record_stride, True, cfg.perturb_ratio,
-            mesh=mesh):
+            mesh=mesh, bvec=bvec):
         bucket = recs_t.shape[2]
         rows = np.concatenate(
             [ids_c, np.zeros(bucket - len(ids_c), ids_c.dtype)])
@@ -347,6 +428,9 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             flux_x = np.asarray(carry[1], np.float64)
         flux_o[ids_c] = np.asarray(sub[0])[:len(ids_c)]
         flux_x[ids_c] = np.asarray(sub[1])[:len(ids_c)]
+        if collect_center and p_center in ids_c:
+            j = int(np.flatnonzero(ids_c == p_center)[0])
+            center_tail = (int(bases_c[j]), np.asarray(recs_t[:, :, j]))
 
     if flux_o is None:
         flux_o = np.asarray(carry[0], np.float64)
@@ -356,7 +440,28 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
         log(f"  fast-path escape fraction: {frac:.4f} "
             f"(finished by one-shot XLA tails)")
     n_rays = start.shape[0]
-    return flux_o[:n_rays], flux_x[:n_rays]
+
+    center_los = None
+    if collect_center and center_segs:
+        rows = np.concatenate([np.asarray(r) for r in center_segs], axis=0)
+        if center_tail is not None:
+            base, patch = center_tail
+            rem = rows.shape[0] - base
+            rows[base:] = patch[:rem]
+        pos = rows[:, 0:3]
+        s = rows[:, 3]
+        valid = np.all(np.isfinite(pos), axis=1) & np.isfinite(s) & (s > 0)
+        prev = np.asarray(start[p_center], np.float64)
+        ds = np.zeros(len(rows))
+        for i in range(len(rows)):
+            if valid[i]:
+                ds[i] = np.linalg.norm(pos[i] - prev) * R_SUN_CM
+                prev = pos[i]
+        center_los = LosSamples(
+            ne=rows[:, 4:5], te=rows[:, 5:6], b=rows[:, 6:7],
+            ds=ds[:, None], valid_mask=valid[:, None], s=s[:, None],
+            cos_theta=rows[:, 7:8] if theta_los else None)
+    return flux_o[:n_rays], flux_x[:n_rays], center_los
 
 
 # ---------------------------------------------------------------------------

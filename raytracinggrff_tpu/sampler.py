@@ -32,11 +32,17 @@ class LosSamples(NamedTuple):
     ds: jax.Array          # cm
     valid_mask: jax.Array  # bool
     s: jax.Array           # cross-section ratio as passed in
+    cos_theta: jax.Array | None = None  # signed cos(B, k̂); None w/o bvec
 
 
-def pack_model_table(ne_cube, te_cube, b_cube):
-    """Pack the three field cubes into one (N, 3) gather table."""
-    return pack_fields(ne_cube, te_cube, b_cube)
+def pack_model_table(ne_cube, te_cube, b_cube, bvec=None):
+    """Pack the field cubes into one (N, C) gather table. With `bvec`
+    (3 image-frame Cartesian B-component cubes) the table carries 6
+    channels and the sampler also returns cos(theta) between B and the
+    local propagation direction (theta_mode='los')."""
+    if bvec is None:
+        return pack_fields(ne_cube, te_cube, b_cube)
+    return pack_fields(ne_cube, te_cube, b_cube, *bvec)
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
@@ -60,7 +66,9 @@ def sample_model_with_rays(
 
     v, _ = trilinear_packed(model_table, grid,
                             pos[..., 0], pos[..., 1], pos[..., 2])
-    fills = jnp.array([fill_ne, fill_te, fill_b], jnp.float32)
+    nch = v.shape[-1]
+    fills = jnp.array([fill_ne, fill_te, fill_b] + [0.0] * (nch - 3),
+                      jnp.float32)
     v = jnp.where(jnp.isfinite(v), v, fills)
     ne, te, b = v[..., 0], v[..., 1], v[..., 2]
 
@@ -75,7 +83,27 @@ def sample_model_with_rays(
 
     _, ds = jax.lax.scan(ds_body, ray_start, (pos, valid))
 
-    return LosSamples(ne=ne, te=te, b=b, ds=ds, valid_mask=valid, s=s)
+    cos_t = None
+    if nch >= 6:
+        cos_t = _cos_theta_from_records(pos, v[..., 3:6])
+    return LosSamples(ne=ne, te=te, b=b, ds=ds, valid_mask=valid, s=s,
+                      cos_theta=cos_t)
+
+
+def _cos_theta_from_records(pos, bv):
+    """Signed cos(theta) between the sampled B vector and the local ray
+    direction (finite difference of record positions; the last record
+    reuses the previous direction). Zero-length segments or zero B give
+    cos = 0 -> the theta = 90 fallback of the Parms[4] contract."""
+    if pos.shape[0] > 1:
+        d = pos[1:] - pos[:-1]
+        dirs = jnp.concatenate([d, d[-1:]], axis=0)
+    else:
+        dirs = jnp.zeros_like(pos)
+    num = jnp.sum(bv * dirs, axis=-1)
+    den = (jnp.sqrt(jnp.sum(bv * bv, axis=-1))
+           * jnp.sqrt(jnp.sum(dirs * dirs, axis=-1)))
+    return jnp.clip(num / jnp.maximum(den, 1e-30), -1.0, 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=())

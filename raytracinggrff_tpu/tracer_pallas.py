@@ -80,13 +80,21 @@ from .constants import C_R, FILL_B, FILL_NE, FILL_TE
 
 @functools.partial(jax.jit, static_argnames=("grid",))
 def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
-                          start, kdir, freq_hz):
+                          start, kdir, freq_hz, bvec=None):
     """One jitted setup graph: gradient cubes, fused-layout packing, kc0
     init. (Eager per-op dispatch through the TPU tunnel costs seconds per
-    op; this was ~2.5 min of setup when run eagerly.)"""
+    op; this was ~2.5 min of setup when run eagerly.)
+
+    `bvec` (optional (bx, by, bz) image-frame Cartesian B cubes) widens the
+    sample cube to 8 channels so the kernel can record cos(theta) between B
+    and the local wave vector (theta_mode='los')."""
     gx, gy, gz = gradient_cubes(omega_pe_cube, grid)
     tcube = pack_cube_zc(omega_pe_cube, gx, gy, gz)
-    scube = pack_cube_zc(ne_cube, te_cube, b_cube)
+    if bvec is None:
+        scube = pack_cube_zc(ne_cube, te_cube, b_cube)
+    else:
+        scube = pack_cube_zc(ne_cube, te_cube, b_cube,
+                             bvec[0], bvec[1], bvec[2], nch=8)
     wpe_table = pack_fields(omega_pe_cube)
     k0 = init_k_vectors(wpe_table, grid, freq_hz, start, kdir)
     return tcube, scube, k0
@@ -94,21 +102,21 @@ def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
 
 def _kernel_call(tcube, scube, kstate, mesh, grid, rpt, rps, stride,
                  first_block, dt, perturb_ratio, trace_crosssections,
-                 interpret, bx, by, bz):
+                 interpret, bx, by, bz, nch_s=4):
     """One trace-segment kernel launch; shard_mapped over ray tiles when a
     mesh is given (tiles are independent, cubes replicated)."""
     if mesh is None:
         return run_trace_segment(tcube, scube, kstate, grid, rpt, rps,
                                  stride, first_block, dt, perturb_ratio,
                                  trace_crosssections, interpret,
-                                 bx=bx, by=by, bz=bz)
+                                 bx=bx, by=by, bz=bz, sample_channels=nch_s)
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     fn = shard_map(
         lambda a, b, c: run_trace_segment(
             a, b, c, grid, rpt, rps, stride, first_block, dt,
             perturb_ratio, trace_crosssections, interpret,
-            bx=bx, by=by, bz=bz),
+            bx=bx, by=by, bz=bz, sample_channels=nch_s),
         mesh=mesh,
         in_specs=(P(), P(), P("rays", None, None)),
         out_specs=PallasSegmentResult(
@@ -170,10 +178,11 @@ def _untile_recs(rec_tiles):
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "grid", "rpt_hi", "rpt_lo", "rps", "stride", "first_block",
     "dt", "perturb_ratio", "trace_crosssections", "interpret",
-    "brick_hi", "brick_lo"))
+    "brick_hi", "brick_lo", "nch_s"))
 def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
                  stride, first_block, dt, perturb_ratio,
-                 trace_crosssections, interpret, brick_hi, brick_lo):
+                 trace_crosssections, interpret, brick_hi, brick_lo,
+                 nch_s=4):
     """Both region kernels + unpack for the async loop: returns the merged
     (n_tot, 8) end state in slot order, escape flags, and the raw record
     tiles of each region (the retry graph does the single merged record
@@ -188,7 +197,7 @@ def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
         outs.append(_kernel_call(
             tcube, scube, kstate, mesh, grid, rpt, rps, stride,
             first_block, dt, perturb_ratio, trace_crosssections,
-            interpret, *brick))
+            interpret, *brick, nch_s=nch_s))
     res_hi, res_lo = outs
     states = [r.state for r in outs if r is not None]
     esc = jnp.concatenate(
@@ -202,13 +211,13 @@ def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "grid", "rpt_hi", "rpt_lo", "n_tl", "rps", "stride",
     "first_block", "dt", "perturb_ratio", "trace_crosssections",
-    "interpret", "brick_lo", "occ_r"))
+    "interpret", "brick_lo", "occ_r", "nch_s"))
 def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
                  inv, park_main, tailed, tail_state, tail_seg,
                  n_retried, seg_idx,
                  mesh, grid, rpt_hi, rpt_lo, n_tl, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, interpret,
-                 brick_lo, occ_r=4):
+                 brick_lo, occ_r=4, nch_s=4):
     """Device-resident escape handling: compact the escapees of BOTH
     regions, re-run their segment in lo-region tiles at occupancy occ_r,
     merge records/end-states, and update the tail carries — all without a
@@ -265,7 +274,8 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
 
         res_r = _kernel_call(tcube, scube, kstate_r, mesh, grid, rpt_lo,
                              rps, stride, first_block, dt, perturb_ratio,
-                             trace_crosssections, interpret, *brick_lo)
+                             trace_crosssections, interpret, *brick_lo,
+                             nch_s=nch_s)
         esc_r = res_r.state[:, 7, :].reshape(n_lo) > 0.5
         state_r = _untile(res_r.state).at[:, 7].set(0.0)
 
@@ -313,6 +323,7 @@ class PallasTraceResult(NamedTuple):
     te: np.ndarray
     b: np.ndarray
     escape_fraction: float
+    cos_theta: np.ndarray | None = None  # signed cos(B,k) when bvec given
 
 
 class TailGroup(NamedTuple):
@@ -518,10 +529,10 @@ def iter_trace_segments(
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=128, seg_records=25, interpret=False, verbose=False,
     stats=None, mesh=None, brick=(BX, BY, BZ), tile_factor=4,
-    rpt_hi=512, hi_tile_slack=2.0, brick_hi=None,
+    rpt_hi=512, hi_tile_slack=2.0, brick_hi=None, bvec=None,
 ):
     """Generator yielding (rps, 8, n_tot) device records per segment, rows
-    [x,y,z,S,ne,te,b,pad], columns in ORIGINAL ray order (column i is ray
+    [x,y,z,S,ne,te,b,cos_theta], columns in ORIGINAL ray order (column i is ray
     i; columns n_rays..n_tot are padding). Tailed rays' records carry S=0
     from their escape segment on — consume their true records via
     iter_tail_traces(stats, ...) after this generator is exhausted.
@@ -537,6 +548,10 @@ def iter_trace_segments(
     `mesh` (optional jax.sharding.Mesh with a 'rays' axis) partitions every
     kernel launch over chips via shard_map; cubes are replicated and the
     re-binning permutation rides XLA collectives over ICI.
+
+    `bvec` (optional (bx, by, bz) image-frame Cartesian B cubes) makes the
+    kernel record signed cos(theta) between B and the wave vector in record
+    row 7 (theta_mode='los'; the 4-channel sample cube becomes 8-channel).
     """
     n_rays = start.shape[0]
     # rpt caps the max lo leaf size and sets the lo lane width; floor 128
@@ -581,11 +596,14 @@ def iter_trace_segments(
                                                        for v in brick_hi)
 
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
+    nch_s = 8 if bvec is not None else 4
+    if bvec is not None:
+        bvec = tuple(jnp.asarray(c, jnp.float32) for c in bvec)
     tcube, scube, k0 = _prepare_trace_inputs(
         omega_pe_cube, jnp.asarray(ne_cube, jnp.float32),
         jnp.asarray(te_cube, jnp.float32), jnp.asarray(b_cube, jnp.float32),
         grid, jnp.asarray(start, jnp.float32),
-        jnp.asarray(kdir, jnp.float32), jnp.float32(freq_hz))
+        jnp.asarray(kdir, jnp.float32), jnp.float32(freq_hz), bvec)
 
     state_h = np.zeros((n_tot, 8), np.float32)
     state_h[:, 0] = grid.x0 - 1e6    # dummy padding: frozen outside cube
@@ -720,6 +738,11 @@ def iter_trace_segments(
         next_bin = None
         if binres is not None:
             local_np, park_slots = binres
+            if n_hi:
+                stats.setdefault("hi_occ", []).append(
+                    round(1.0 - float(park_slots[:n_hi].mean()), 4))
+            stats.setdefault("lo_occ", []).append(
+                round(1.0 - float(park_slots[n_hi:].mean()), 4))
             global_perm = global_perm[local_np]
             inv = np.empty(n_tot, np.int64)
             inv[global_perm] = np.arange(n_tot)
@@ -741,14 +764,15 @@ def iter_trace_segments(
         state_main, esc_dev, raw_hi, raw_lo = _trace_graph(
             tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret, brick_hi, brick_lo)
+            trace_crosssections, interpret, brick_hi, brick_lo,
+            nch_s=nch_s)
         (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
          _) = _retry_graph(
             tcube, scube, seg_start, state_main, esc_dev, raw_hi, raw_lo,
             inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
             n_retried, seg_i, mesh, grid, rpt_hi, rpt, n_tl, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret, brick_lo)
+            trace_crosssections, interpret, brick_lo, nch_s=nch_s)
         timers["kernel"] += clock() - t0
         yield recs
 
@@ -789,7 +813,7 @@ def _pow2_at_least(n):
 def iter_tail_traces(stats, omega_pe_cube, ne_cube, te_cube, b_cube,
                      grid: UniformGrid, dt, record_stride,
                      trace_crosssections=True, perturb_ratio=2.0,
-                     mesh=None):
+                     mesh=None, bvec=None):
     """One-shot XLA completion of rays that left the Pallas fast path.
 
     Consumes stats['tails'] from an exhausted iter_trace_segments and
@@ -811,10 +835,15 @@ def iter_tail_traces(stats, omega_pe_cube, ne_cube, te_cube, b_cube,
     n_records = stats["n_records"]
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
     trace_table = pack_trace_table(omega_pe_cube, grid)
-    model_table = pack_fields(jnp.asarray(ne_cube, jnp.float32),
-                              jnp.asarray(te_cube, jnp.float32),
-                              jnp.asarray(b_cube, jnp.float32))
-    fills = jnp.array([FILL_NE, FILL_TE, FILL_B], jnp.float32)
+    fields = [jnp.asarray(ne_cube, jnp.float32),
+              jnp.asarray(te_cube, jnp.float32),
+              jnp.asarray(b_cube, jnp.float32)]
+    fill_vals = [FILL_NE, FILL_TE, FILL_B]
+    if bvec is not None:
+        fields += [jnp.asarray(c, jnp.float32) for c in bvec]
+        fill_vals += [0.0, 0.0, 0.0]
+    model_table = pack_fields(*fields)
+    fills = jnp.array(fill_vals, jnp.float32)
 
     for fb in sorted({t.first_block for t in tails}):
         groups = [t for t in tails if t.first_block == fb]
@@ -893,11 +922,27 @@ def _trace_tail_chunk(trace_table, model_table, grid, st, rem, fills, dt,
     live = (jnp.arange(r_rec.shape[0], dtype=jnp.int32)[:, None]
             < rem[None, :])
     s_rec = jnp.where(live, s_rec, 0.0)
+    if v.shape[-1] >= 6:
+        # signed cos(theta) between the sampled B vector (fields 3:6) and
+        # the local propagation direction (finite-diff of record positions;
+        # frozen rays give zero diffs -> cos=0 -> theta=90 fallback)
+        if r_rec.shape[0] > 1:
+            d = r_rec[1:] - r_rec[:-1]
+            dirs = jnp.concatenate([d, d[-1:]], axis=0)      # (H, m, 3)
+        else:
+            dirs = k[None, :, :]
+        bv = v[..., 3:6]
+        num = jnp.sum(bv * dirs, axis=-1)
+        den = (jnp.linalg.norm(bv, axis=-1)
+               * jnp.linalg.norm(dirs, axis=-1))
+        cos_t = jnp.clip(num / jnp.maximum(den, 1e-30), -1.0, 1.0)
+    else:
+        cos_t = jnp.zeros_like(s_rec)
     return jnp.concatenate([
         r_rec.transpose(0, 2, 1),                      # rows x, y, z
         s_rec[:, None, :],
         v[..., 0][:, None, :], v[..., 1][:, None, :], v[..., 2][:, None, :],
-        jnp.zeros_like(s_rec)[:, None, :]], axis=1)
+        cos_t[:, None, :]], axis=1)
 
 
 def trace_rays_pallas(
@@ -906,11 +951,12 @@ def trace_rays_pallas(
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=128, seg_records=25, interpret=False, verbose=False,
-    rpt_hi=512, brick_hi=None,
+    rpt_hi=512, brick_hi=None, bvec=None,
 ) -> PallasTraceResult:
     """Trace all rays with the fused Pallas kernel (cumulative-S semantics),
     assembling records on the host in original ray order. Records include
-    Ne/Te/|B| sampled at the record positions."""
+    Ne/Te/|B| sampled at the record positions; with `bvec` also the signed
+    cos(theta(B, k̂)) per record."""
     n_rays = start.shape[0]
     stats = {}
     rec_host = None
@@ -919,7 +965,7 @@ def trace_rays_pallas(
             omega_pe_cube, ne_cube, te_cube, b_cube, grid, freq_hz,
             start, kdir, dt, n_steps, record_stride, trace_crosssections,
             perturb_ratio, rpt, seg_records, interpret, verbose, stats,
-            rpt_hi=rpt_hi, brick_hi=brick_hi):
+            rpt_hi=rpt_hi, brick_hi=brick_hi, bvec=bvec):
         rps = recs.shape[0]
         if rec_host is None:
             rec_host = np.zeros((stats["n_records"], n_rays, 8), np.float32)
@@ -931,7 +977,7 @@ def trace_rays_pallas(
     n_records = stats["n_records"]
     for ids_c, bases_c, recs in iter_tail_traces(
             stats, omega_pe_cube, ne_cube, te_cube, b_cube, grid, dt,
-            record_stride, trace_crosssections, perturb_ratio):
+            record_stride, trace_crosssections, perturb_ratio, bvec=bvec):
         recs_h = np.asarray(recs).transpose(0, 2, 1)   # (H, bucket, 8)
         for rb in np.unique(bases_c):
             sel = np.flatnonzero(bases_c == rb)
@@ -946,4 +992,5 @@ def trace_rays_pallas(
         te=rec_host[:, :, 5],
         b=rec_host[:, :, 6],
         escape_fraction=stats["escaped"] / max(1, n_rays),
+        cos_theta=rec_host[:, :, 7] if bvec is not None else None,
     )

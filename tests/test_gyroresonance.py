@@ -43,6 +43,47 @@ def test_x_mode_more_opaque_than_o():
     assert kx > ko > 0
 
 
+def test_layer_depth_matches_closed_form():
+    """Quantitative check: integrating gyroresonance_kappa through a
+    linear-B resonance layer must reproduce the standard closed-form
+    layer depth (Zheleznyakov / Dulk 1985 eq. 45 / White & Kundu 1997)
+
+        tau(s, sigma, theta) = (pi^2 / 2c) (nu_p^2 / nu) L_B (s^2 / s!)
+                               (s^2 beta^2 sin^2(theta) / 2)^(s-1)
+                               F_sigma(theta),   F_sigma = (1-sigma|cos|)^2/2
+
+    computed HERE from its own constants (an independent code path), and
+    the resulting X-mode tau(s=2, 3) must sit in the literature's
+    'strongly optically thick' regime for active-region parameters
+    (tau_2, tau_3 >> 1; White & Kundu 1997 quote tau ~ 1e2-1e6)."""
+    from math import factorial
+
+    c_cgs = 2.998e10
+    ne, te = 1e10, 3e6             # active-region base values
+    theta = np.deg2rad(50.0)
+    l_b = 1e9                                  # B scale length, cm
+    nu = 3e9                                   # 3 GHz observation
+    for s, sigma in ((2, -1.0), (2, 1.0), (3, -1.0), (3, 1.0)):
+        b_res = nu / (s * 2.7992e6)            # field at the resonance
+        # numeric layer integral of kappa over B(x) linear in x
+        xs = np.linspace(-0.35 * l_b, 0.35 * l_b, 6001)
+        b_x = b_res * (1.0 + xs / l_b)
+        kap = gyroresonance_kappa(np.float64(ne), np.float64(te), b_x, nu,
+                                  theta, sigma, xp=np)
+        tau_num = np.trapezoid(kap, xs)
+        # closed form, constants written out independently
+        nu_p_sq = (8.93e3) ** 2 * ne
+        beta2 = 1.38065e-16 * te / (9.1094e-28 * c_cgs ** 2)
+        f_sig = (1.0 - sigma * abs(np.cos(theta))) ** 2 / 2.0
+        tau_ref = (np.pi ** 2 / (2 * c_cgs)) * (nu_p_sq / nu) * l_b \
+            * (s ** 2 / factorial(s)) \
+            * (s ** 2 * beta2 * np.sin(theta) ** 2 / 2.0) ** (s - 1) * f_sig
+        np.testing.assert_allclose(tau_num, tau_ref, rtol=0.03,
+                                   err_msg=f"s={s} sigma={sigma}")
+        if sigma < 0:                          # X mode: optically thick
+            assert 1e2 < tau_num < 1e8, (s, tau_num)
+
+
 def test_transfer_with_gr_flag():
     """mechanism=1+2+4 adds gyroresonance absorption to the transfer; an
     optically thin free-free slab becomes optically thick at a resonance."""
