@@ -84,7 +84,9 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     # Per-axis reload margin in cells: everything that can poke beyond the
     # ACTIVE bbox before the next bounds check — check_every steps of
     # motion (<= dt*C_R each), the cross-section perturbation offset
-    # (pr * step) and the perturbed ray's own step — plus one cell for the
+    # (pr * step) and the perturbed ray's own step, PLUS one step for the
+    # software-pipelined perturbed pair (it is launched from the main
+    # ray's PREVIOUS position, see step_merged) — plus one cell for the
     # trailing interpolation node. Without this margin, coherent bundles
     # escape between checks (measured 98% tail-out on a 300 MHz
     # straight-through workload with the old fixed 1-cell margin).
@@ -92,7 +94,7 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     # the bbox reductions + scalar-unit conditional most steps — the
     # fixed per-tile-step cost they impose (~3.5 us) dominated the kernel
     # at rpt=128.
-    reach = (pr + 1.0 + check_every) * dt * C_R if trace_crosssections \
+    reach = (pr + 2.0 + check_every) * dt * C_R if trace_crosssections \
         else (1.0 + check_every) * dt * C_R
     marg_x = np.float32(1.0 + reach * inv_dx)
     marg_y = np.float32(1.0 + reach * inv_dy)
@@ -121,7 +123,7 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
         return tuple(t3[c:c + 1] for c in range(nch))
 
     def kernel(tcube, scube, state_in, state_out, rec_out,
-               tbrick, sbrick, twin, swin, orig_ref, sem):
+               tbrick, sbrick, twin, swin, nrow, orig_ref, sem):
         state = state_in[0]                       # (8, rpt)
 
         orig_ref[0] = jnp.int32(-10000)           # ox; force initial load
@@ -243,62 +245,155 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                     a[2] * b[0] - a[0] * b[2],
                     a[0] * b[1] - a[1] * b[0])
 
-        def step(carry, check_reload=True):
+        # ------------------------------------------------------------------
+        # Cross-section tracking is SOFTWARE-PIPELINED one interval deep:
+        # the perturbed pair for interval j (launched from the main ray's
+        # pre-step position with offsets from the REALIZED step direction,
+        # build_rays.py:204-239) is integrated INSIDE the same 3*rpt-lane
+        # rk4 call as the main ray's interval j+1, and its cross-section
+        # ratio is folded into cumS right after that call. The serial
+        # ordering (4 main evals at rpt lanes, then 4 perturbed evals at
+        # 2*rpt) costs 8 matmul latencies per step; the merged call costs
+        # 4 — and per-tile step cost is matmul-LATENCY-dominated at these
+        # widths, so this is a ~1.6x kernel speedup. Record values are
+        # exactly the serial ones (each record's cumS is flushed complete
+        # before it is written); the only divergence is the end state of
+        # rays whose PERTURBED ray escaped the brick — they freeze one
+        # step later than the serial schedule, and every escapee's state
+        # and records are recomputed from the segment start by the
+        # driver's retry/tail path anyway (tracer_pallas._retry_graph).
+        # ------------------------------------------------------------------
+
+        def build_pert(p_old, k_old, pn, frozen):
+            """Launch state for the perturbed pair of interval
+            p_old -> pn, plus the fold context (t_hat, eps, frozen-at-
+            launch). All rows (1, rpt): the two perturbed rays stay as
+            separate equal-width rows because Mosaic only concatenates
+            equal-shaped vectors on the lane dim."""
+            rd = (pn[0] - p_old[0], pn[1] - p_old[1], pn[2] - p_old[2])
+            dnorm = jnp.sqrt(rd[0] * rd[0] + rd[1] * rd[1]
+                             + rd[2] * rd[2]) + 1e-32
+            t_hat = (rd[0] / dnorm, rd[1] / dnorm, rd[2] / dnorm)
+            # transverse basis (gpu_raytrace.py:284-295)
+            use_z = jnp.abs(t_hat[2]) < 0.9
+            ay = jnp.where(use_z, 0.0, 1.0)
+            az = jnp.where(use_z, 1.0, 0.0)
+            e1 = (ay * t_hat[2] - az * t_hat[1],
+                  az * t_hat[0], -ay * t_hat[0])
+            n1 = jnp.sqrt(e1[0] * e1[0] + e1[1] * e1[1]
+                          + e1[2] * e1[2]) + 1e-30
+            e1 = (e1[0] / n1, e1[1] / n1, e1[2] / n1)
+            e2 = cross(t_hat, e1)
+            n2 = jnp.sqrt(e2[0] * e2[0] + e2[1] * e2[1]
+                          + e2[2] * e2[2]) + 1e-30
+            e2 = (e2[0] / n2, e2[1] / n2, e2[2] / n2)
+            eps = pr * dnorm
+            q1 = tuple(p_old[i] + eps * e1[i] for i in range(3))
+            q2 = tuple(p_old[i] + eps * e2[i] for i in range(3))
+            # frozen carried as f32: Mosaic cannot legalize i1 vectors in
+            # fori_loop carries (scf.for legalization failure on v5e)
+            return q1 + q2 + tuple(k_old) + t_hat \
+                + (eps, frozen.astype(jnp.float32))
+
+        def fold_pert(pend, pert_n, e_p2, p_end, cums, esc):
+            """Fold the pending interval's cross-section ratio into cumS.
+            pert_n: (1, 2*rpt) integrated perturbed positions; p_end: the
+            main ray's position at that interval's END (= the carry value
+            BEFORE the current iteration's main update)."""
+            thx, thy, thz, eps, fzp = pend[9:]
+            d1 = tuple(pert_n[i][:, :rpt] - p_end[i] for i in range(3))
+            d2 = tuple(pert_n[i][:, rpt:] - p_end[i] for i in range(3))
+            cr = cross(d1, d2)
+            num = jnp.abs(cr[0] * thx + cr[1] * thy + cr[2] * thz)
+            s_ratio = num / (eps * eps + 1e-30)
+            cums = jnp.where(fzp > 0.5, cums, cums * s_ratio)
+            e_p = e_p2[:, :rpt] | e_p2[:, rpt:]
+            esc = jnp.maximum(esc, e_p.astype(jnp.float32))
+            return cums, esc
+
+        def main_step(carry, check_reload=True):
+            """Block-leading step: main ray only, opens the pipeline."""
             px, py, pz, kx, ky, kz, cums, esc = carry
             if check_reload:
                 maybe_reload(px, py, pz, esc)
             frozen = esc > 0.5
-            zeros = jnp.zeros((1, rpt), bool)
-            pn, kn, e_c = rk4(px, py, pz, kx, ky, kz, zeros)
-
-            if trace_crosssections:
-                rd = (pn[0] - px, pn[1] - py, pn[2] - pz)
-                dnorm = jnp.sqrt(rd[0] * rd[0] + rd[1] * rd[1]
-                                 + rd[2] * rd[2]) + 1e-32
-                t_hat = (rd[0] / dnorm, rd[1] / dnorm, rd[2] / dnorm)
-                # transverse basis (gpu_raytrace.py:284-295)
-                use_z = jnp.abs(t_hat[2]) < 0.9
-                ay = jnp.where(use_z, 0.0, 1.0)
-                az = jnp.where(use_z, 1.0, 0.0)
-                e1 = (ay * t_hat[2] - az * t_hat[1],
-                      az * t_hat[0], -ay * t_hat[0])
-                n1 = jnp.sqrt(e1[0] * e1[0] + e1[1] * e1[1]
-                              + e1[2] * e1[2]) + 1e-30
-                e1 = (e1[0] / n1, e1[1] / n1, e1[2] / n1)
-                e2 = cross(t_hat, e1)
-                n2 = jnp.sqrt(e2[0] * e2[0] + e2[1] * e2[1]
-                              + e2[2] * e2[2]) + 1e-30
-                e2 = (e2[0] / n2, e2[1] / n2, e2[2] / n2)
-                eps = pr * dnorm
-
-                # both perturbed rays batched in one 2*rpt-lane rk4
-                pp = tuple(jnp.concatenate(
-                    [c0 + eps * u1, c0 + eps * u2], axis=1)
-                    for c0, u1, u2 in ((px, e1[0], e2[0]),
-                                       (py, e1[1], e2[1]),
-                                       (pz, e1[2], e2[2])))
-                kk = tuple(jnp.concatenate([c0, c0], axis=1)
-                           for c0 in (kx, ky, kz))
-                pp_n, _, e_p = rk4(*pp, *kk, jnp.zeros((1, 2 * rpt), bool))
-
-                d1 = tuple(pp_n[i][:, :rpt] - pn[i] for i in range(3))
-                d2 = tuple(pp_n[i][:, rpt:] - pn[i] for i in range(3))
-                cr = cross(d1, d2)
-                num = jnp.abs(cr[0] * t_hat[0] + cr[1] * t_hat[1]
-                              + cr[2] * t_hat[2])
-                s_ratio = num / (eps * eps + 1e-30)
-                e_all = e_c | e_p[:, :rpt] | e_p[:, rpt:]
-                cums = jnp.where(frozen, cums, cums * s_ratio)
-            else:
-                e_all = e_c
-
+            pn, kn, e_c = rk4(px, py, pz, kx, ky, kz,
+                              jnp.zeros((1, rpt), bool))
+            pend = build_pert((px, py, pz), (kx, ky, kz), pn, frozen)
             px = jnp.where(frozen, px, pn[0])
             py = jnp.where(frozen, py, pn[1])
             pz = jnp.where(frozen, pz, pn[2])
             kx = jnp.where(frozen, kx, kn[0])
             ky = jnp.where(frozen, ky, kn[1])
             kz = jnp.where(frozen, kz, kn[2])
-            esc = jnp.maximum(esc, e_all.astype(jnp.float32))
+            esc = jnp.maximum(esc, e_c.astype(jnp.float32))
+            return (px, py, pz, kx, ky, kz, cums, esc), pend
+
+        def step_merged(cp, check_reload=True):
+            """One pipelined step: main interval j+1 and the pending
+            perturbed pair of interval j in a single 3*rpt-lane rk4."""
+            carry, pend = cp
+            px, py, pz, kx, ky, kz, cums, esc = carry
+            if check_reload:
+                maybe_reload(px, py, pz, esc)
+            frozen = esc > 0.5
+            mx = jnp.concatenate([px, pend[0], pend[3]], axis=1)
+            my = jnp.concatenate([py, pend[1], pend[4]], axis=1)
+            mz = jnp.concatenate([pz, pend[2], pend[5]], axis=1)
+            mkx = jnp.concatenate([kx, pend[6], pend[6]], axis=1)
+            mky = jnp.concatenate([ky, pend[7], pend[7]], axis=1)
+            mkz = jnp.concatenate([kz, pend[8], pend[8]], axis=1)
+            res_p, res_k, e_m = rk4(mx, my, mz, mkx, mky, mkz,
+                                    jnp.zeros((1, 3 * rpt), bool))
+            pn = tuple(r[:, :rpt] for r in res_p)
+            kn = tuple(r[:, :rpt] for r in res_k)
+            pert_n = tuple(r[:, rpt:] for r in res_p)
+            e_c = e_m[:, :rpt]
+            cums, esc = fold_pert(pend, pert_n, e_m[:, rpt:],
+                                  (px, py, pz), cums, esc)
+            pend = build_pert((px, py, pz), (kx, ky, kz), pn, frozen)
+            px = jnp.where(frozen, px, pn[0])
+            py = jnp.where(frozen, py, pn[1])
+            pz = jnp.where(frozen, pz, pn[2])
+            kx = jnp.where(frozen, kx, kn[0])
+            ky = jnp.where(frozen, ky, kn[1])
+            kz = jnp.where(frozen, kz, kn[2])
+            esc = jnp.maximum(esc, e_c.astype(jnp.float32))
+            return (px, py, pz, kx, ky, kz, cums, esc), pend
+
+        def flush_pert(cp):
+            """Close the pipeline at a record boundary: integrate the last
+            pending perturbed pair (2*rpt lanes) and fold its ratio, so
+            the record's cumS is complete through the block's last step."""
+            carry, pend = cp
+            px, py, pz, kx, ky, kz, cums, esc = carry
+            qx = jnp.concatenate([pend[0], pend[3]], axis=1)
+            qy = jnp.concatenate([pend[1], pend[4]], axis=1)
+            qz = jnp.concatenate([pend[2], pend[5]], axis=1)
+            qkx = jnp.concatenate([pend[6], pend[6]], axis=1)
+            qky = jnp.concatenate([pend[7], pend[7]], axis=1)
+            qkz = jnp.concatenate([pend[8], pend[8]], axis=1)
+            pert_n0, _, e_p2 = rk4(qx, qy, qz, qkx, qky, qkz,
+                                   jnp.zeros((1, 2 * rpt), bool))
+            cums, esc = fold_pert(pend, pert_n0, e_p2,
+                                  (px, py, pz), cums, esc)
+            return (px, py, pz, kx, ky, kz, cums, esc)
+
+        def step_plain(carry, check_reload=True):
+            """No-cross-section step (trace_crosssections=False)."""
+            px, py, pz, kx, ky, kz, cums, esc = carry
+            if check_reload:
+                maybe_reload(px, py, pz, esc)
+            frozen = esc > 0.5
+            pn, kn, e_c = rk4(px, py, pz, kx, ky, kz,
+                              jnp.zeros((1, rpt), bool))
+            px = jnp.where(frozen, px, pn[0])
+            py = jnp.where(frozen, py, pn[1])
+            pz = jnp.where(frozen, pz, pn[2])
+            kx = jnp.where(frozen, kx, kn[0])
+            ky = jnp.where(frozen, ky, kn[1])
+            kz = jnp.where(frozen, kz, kn[2])
+            esc = jnp.maximum(esc, e_c.astype(jnp.float32))
             return px, py, pz, kx, ky, kz, cums, esc
 
         def record(b_idx, carry):
@@ -335,20 +430,37 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
         def run_block(carry, n_steps, b_idx):
             # bounds check every check_every steps; the reload margin
             # (marg_*) covers exactly that many steps of motion plus the
-            # perturbation reach, so nothing can leave the brick between
-            # checks. The DMA only fires when the margin is breached.
-            nc, rem = divmod(n_steps, check_every)
+            # perturbation reach (incl. the pipeline's one-step lag), so
+            # nothing can leave the brick between checks. The DMA only
+            # fires when the margin is breached.
+            if trace_crosssections:
+                cp = main_step(carry)                      # opens pipeline
+                nc, rem = divmod(n_steps - 1, check_every)
 
-            def group(_, c):
-                c = step(c, check_reload=True)
-                for _ in range(check_every - 1):
-                    c = step(c, check_reload=False)
-                return c
+                def group(_, cp):
+                    cp = step_merged(cp, check_reload=True)
+                    for _ in range(check_every - 1):
+                        cp = step_merged(cp, check_reload=False)
+                    return cp
 
-            if nc:
-                carry = jax.lax.fori_loop(0, nc, group, carry)
-            for j in range(rem):
-                carry = step(carry, check_reload=(j == 0))
+                if nc:
+                    cp = jax.lax.fori_loop(0, nc, group, cp)
+                for j in range(rem):
+                    cp = step_merged(cp, check_reload=(j == 0))
+                carry = flush_pert(cp)
+            else:
+                nc, rem = divmod(n_steps, check_every)
+
+                def group(_, c):
+                    c = step_plain(c, check_reload=True)
+                    for _ in range(check_every - 1):
+                        c = step_plain(c, check_reload=False)
+                    return c
+
+                if nc:
+                    carry = jax.lax.fori_loop(0, nc, group, carry)
+                for j in range(rem):
+                    carry = step_plain(carry, check_reload=(j == 0))
             return record(b_idx, carry)
 
         # Tiles whose rays are all frozen (escaped/tailed) or out-of-cube
@@ -362,8 +474,18 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
 
         @pl.when(has_active)
         def _():
-            carry = (state[0:1], state[1:2], state[2:3], state[3:4],
-                     state[4:5], state[5:6], state[6:7], state[7:8])
+            # Round-trip each state row through a (1, rpt) scratch: a
+            # direct state[i:i+1] slice carries sublane-offset-i layout,
+            # which poisons every downstream select/max and makes Mosaic
+            # reject step_merged's lane concat of carry rows with
+            # arithmetic (offset-0) perturbation rows ("result/input
+            # offset mismatch on non-concat dimension"). The store
+            # re-anchors each row to the scratch ref's offset-0 layout.
+            def norm_row(i):
+                nrow[:] = state[i:i + 1]
+                return nrow[:]
+
+            carry = tuple(norm_row(i) for i in range(8))
             if first_block == stride:
                 carry = jax.lax.fori_loop(
                     0, rps, lambda b, c: run_block(c, stride, b), carry)
@@ -449,6 +571,7 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
             pltpu.VMEM((by, bzc_s, nx_pad), jnp.float32),
             pltpu.VMEM((by, bzc, bx), jnp.float32),      # x-windows
             pltpu.VMEM((by, bzc_s, bx), jnp.float32),
+            pltpu.VMEM((1, rpt), jnp.float32),           # row relayout
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
