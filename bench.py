@@ -59,14 +59,14 @@ def main():
     p.add_argument("--no-crosssections", action="store_true")
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--rpt", type=int, default=128,
-                   help="pallas rays per lo tile")
-    p.add_argument("--rpt-hi", type=int, default=512,
+                   help="pallas rays per tile")
+    p.add_argument("--rpt-hi", type=int, default=0,
                    help="wide-tile lane width (0 disables two-class)")
     p.add_argument("--seg-records", type=int, default=16)
     p.add_argument("--tile-factor", type=int, default=4,
                    help="lo-tile over-allocation for capacity binning")
-    p.add_argument("--brick", default="16,8,16",
-                   help="pallas lo brick nodes bx,by,bz")
+    p.add_argument("--brick", default="32,16,16",
+                   help="pallas brick nodes bx,by,bz")
     p.add_argument("--brick-hi", default=None,
                    help="pallas hi brick nodes (default: --brick)")
     args = p.parse_args()
@@ -129,6 +129,10 @@ def main():
                 if occ:
                     note(f"  {reg} x{len(occ)}: "
                          + " ".join(f"{v:.2f}" for v in occ))
+            for reg in ("hi_tiles", "lo_tiles"):
+                nt = stats.get(reg)
+                if nt:
+                    note(f"  {reg}: " + " ".join(str(v) for v in nt))
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)

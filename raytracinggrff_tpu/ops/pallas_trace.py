@@ -11,12 +11,18 @@ than the compute roofline. This kernel eliminates gathers entirely:
     tile's bounding box nears the brick edge. The x axis rides the
     lane dimension un-sliced (Mosaic requires lane-dim DMA slices to be
     128-aligned), so x motion never needs reloads or escapes.
-  * Trilinear interpolation is evaluated gather-free as three separable
-    contractions with per-ray "tent" weight vectors w_j = max(0, 1-|l-j|):
-    the x-contraction is an MXU matmul (By*Bz*C, nx) @ (nx, rays); y/z are
-    small VPU reductions. The tent-weighted sum over in-range nodes is
-    exactly the clamped trilinear interpolation of the reference CUDA
-    kernel (gpu_raytrace.py:102-158).
+  * Trilinear interpolation is evaluated gather-free with per-ray "tent"
+    weight vectors w_j = max(0, 1-|l-j|): ONE MXU matmul contracts the
+    fused (y, x) window axes against the per-ray outer-product weights
+    wy (x) wx — (Bz*C, By*Bx) @ (By*Bx, rays) — and only the tiny
+    z-contraction stays on the VPU. Folding y into the matmul matters:
+    a VPU y-reduction costs by*bz*C*rays elements per evaluation (it was
+    ~40% of per-lane cost and doubled with the brick's y extent, capping
+    bricks at by=8), while MXU MACs are ~free at these sizes. The window
+    is rearranged into the (Bz*C, By*Bx) layout once per brick reload
+    (per-y-row lane rolls), not per step. The tent-weighted sum over
+    in-range nodes is exactly the clamped trilinear interpolation of the
+    reference CUDA kernel (gpu_raytrace.py:102-158).
   * Ne/Te/|B| are sampled at record time from a second brick, so the
     separate LOS sampling pass (and its gathers) disappears.
 
@@ -53,9 +59,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import C_R, FILL_B, FILL_NE, FILL_TE
 from ..grids import UniformGrid
 
-BX = 16        # x-window nodes (lane-dim contraction width)
-BY = 8         # brick nodes along y
-BZ = 16        # brick nodes along z (propagation axis spreads fastest)
+BX = 32        # x-window nodes (MXU contraction: near-free up to ~32)
+BY = 16        # brick nodes along y (MXU contraction since the fused-
+#                (y,x) matmul; was the binding VPU cost at 8 before that)
+BZ = 16        # brick nodes along z (VPU z-reduction + DMA rows)
 NCH = 4        # channels per cube (trace: wpe,gx,gy,gz; sample: ne,te,b,pad)
 BZC = BZ * NCH  # fused z*channel extent of a brick
 
@@ -81,6 +88,9 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     pr = np.float32(perturb_ratio)
     bzc = bz * NCH
     bzc_s = bz * nch_s
+    # staging lane width: the per-y-row rolls that build the fused windows
+    # slice their first by*bx lanes, so staging must be at least that wide
+    w_pad = max(nx_pad, by * bx)
     # Per-axis reload margin in cells: everything that can poke beyond the
     # ACTIVE bbox before the next bounds check — check_every steps of
     # motion (<= dt*C_R each), the cross-section perturbation offset
@@ -104,22 +114,24 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
         return ((px - x0) * inv_dx, (py - y0) * inv_dy, (pz - z0) * inv_dz)
 
     def brick_sample(win_ref, lx, ly, lz, n_rows, nch=NCH):
-        """Trilinear sample of a (by, bz*C, bx) x-window at local coords
-        (1, R) each. Returns nch (1, R) channel rows; out-of-window rows
-        give 0."""
+        """Trilinear sample of a (bz*C, by*bx) fused-window at local
+        coords (1, R) each. Returns nch (1, R) channel rows; out-of-window
+        rows give 0.
+
+        One matmul contracts the fused (y, x) axis against the per-ray
+        outer-product weights wy (x) wx; the z-contraction is a small VPU
+        reduction (bz*C*R elements — the by*bz*C*R y-reduction of the
+        naive separable scheme is what used to dominate per-lane cost)."""
         wx = _tent_weights(lx, n_rows, bx)           # (bx, R)
         wy = _tent_weights(ly, n_rows, by)           # (by, R)
         wz = _tent_weights(lz, n_rows, bz)           # (bz, R)
 
-        bzc_l = bz * nch
-        a = win_ref[:].reshape(by * bzc_l, bx)       # (by*bz*C, bx)
-        t1 = jax.lax.dot_general(                    # (by*bz*C, R)
-            a, wx, (((1,), (0,)), ((), ())),
+        wxy = (wy[:, None, :] * wx[None, :, :]).reshape(by * bx, n_rows)
+        t1 = jax.lax.dot_general(                    # (bz*C, R)
+            win_ref[:], wxy, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        t1 = t1.reshape(by, bzc_l, n_rows)           # (by, bz*C, R)
-        t2 = jnp.sum(t1 * wy[:, None, :], axis=0)    # (bz*C, R)
-        t2 = t2.reshape(bz, nch, n_rows)             # fused axis is z-major
-        t3 = jnp.sum(t2 * wz[:, None, :], axis=0)    # (C, R)
+        t1 = t1.reshape(bz, nch, n_rows)             # fused axis is z-major
+        t3 = jnp.sum(t1 * wz[:, None, :], axis=0)    # (C, R)
         return tuple(t3[c:c + 1] for c in range(nch))
 
     def kernel(tcube, scube, state_in, state_out, rec_out,
@@ -171,8 +183,13 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                 def center(mn, mx, n, bw):
                     c = 0.5 * (jnp.maximum(mn, 0.0)
                                + jnp.minimum(mx, np.float32(n - 1)))
+                    # bw > n (brick wider than the cube, x only: y/z are
+                    # pre-shrunk by the driver's fit_brick) -> origin 0;
+                    # clip(x, 0, n-bw) with n-bw < 0 would yield a NEGATIVE
+                    # origin and shift window reads into the staging
+                    # buffer's uninitialized tail lanes
                     return jnp.clip((c - bw / 2 + 0.5).astype(jnp.int32),
-                                    0, n - bw)
+                                    0, max(n - bw, 0))
 
                 nox = center(xmin, xmax, nx, bx)
                 noy = center(ymin, ymax, ny, by)
@@ -180,18 +197,40 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                 orig_ref[0] = nox
                 orig_ref[1] = noy
                 orig_ref[2] = noz
+                dst1 = tbrick if w_pad == nx_pad \
+                    else tbrick.at[:, :, pl.ds(0, nx_pad)]
                 cp1 = pltpu.make_async_copy(
                     tcube.at[pl.ds(noy, by), pl.ds(noz * NCH, bzc), :],
-                    tbrick, sem)
+                    dst1, sem)
                 cp1.start()
                 cp1.wait()
+                dst2 = sbrick if w_pad == nx_pad \
+                    else sbrick.at[:, :, pl.ds(0, nx_pad)]
                 cp2 = pltpu.make_async_copy(
                     scube.at[pl.ds(noy, by), pl.ds(noz * nch_s, bzc_s), :],
-                    sbrick, sem)
+                    dst2, sem)
                 cp2.start()
                 cp2.wait()
-                twin[:] = pltpu.roll(tbrick[:], -nox, axis=2)[:, :, :bx]
-                swin[:] = pltpu.roll(sbrick[:], -nox, axis=2)[:, :, :bx]
+
+                def fuse_window(brick, rows):
+                    """(by, rows, w_pad) staged brick -> (rows, by*bx)
+                    window: per-y-row lane roll places y's x-window at lane
+                    block [y*bx, (y+1)*bx) (lane l of block y reads staged
+                    lane nox + (l - y*bx), always < nx_pad). Runs only at
+                    reload, so the matmul's fused (y, x) layout costs
+                    nothing per step."""
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, by * bx), 1)
+                    acc = jnp.zeros((rows, by * bx), jnp.float32)
+                    for y in range(by):
+                        rolled = pltpu.roll(
+                            brick[y], y * bx - nox, axis=1)[:, :by * bx]
+                        m = (lane >= y * bx) & (lane < (y + 1) * bx)
+                        acc = jnp.where(m, rolled, acc)
+                    return acc
+
+                twin[:] = fuse_window(tbrick, bzc)
+                swin[:] = fuse_window(sbrick, bzc_s)
 
         def local_xyz(fx, fy, fz):
             ox, oy, oz = origins_f()
@@ -536,14 +575,16 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     ne,te,b,bx,by,bz,pad,pad for theta_mode='los').
     state: (n_tiles, 8, rpt) rows [rx,ry,rz,kx,ky,kz,cumS,escaped].
     Records rows: [x, y, z, S, ne, te, b, cos_theta(B,k) or 0].
-    bx/by/bz select the brick size: the default fits tight ray bundles
-    cheaply (the x-contraction matmul costs by*bz*NCH*bx MACs per ray per
-    sample); larger bricks track spatially diffuse bundles at higher cost.
+    bx/by/bz select the brick size: the (y, x) extents ride the MXU
+    contraction (bz*NCH x by*bx MACs per ray per sample — near-free at
+    these sizes), bz rides the small VPU z-reduction, so moderately large
+    bricks track spatially diffuse bundles at little extra cost.
     """
     n_tiles = state.shape[0]
     nx_pad = tcube.shape[2]
     bzc = bz * NCH
     bzc_s = bz * sample_channels
+    w_pad = max(nx_pad, by * bx)
     kernel = _make_kernel(grid, rpt, rps, stride, first_block, float(dt),
                           float(perturb_ratio), trace_crosssections, nx_pad,
                           bx, by, bz, nch_s=sample_channels)
@@ -567,10 +608,10 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
             jax.ShapeDtypeStruct((n_tiles, rps, 8, rpt), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((by, bzc, nx_pad), jnp.float32),  # full-x staging
-            pltpu.VMEM((by, bzc_s, nx_pad), jnp.float32),
-            pltpu.VMEM((by, bzc, bx), jnp.float32),      # x-windows
-            pltpu.VMEM((by, bzc_s, bx), jnp.float32),
+            pltpu.VMEM((by, bzc, w_pad), jnp.float32),   # full-x staging
+            pltpu.VMEM((by, bzc_s, w_pad), jnp.float32),
+            pltpu.VMEM((bzc, by * bx), jnp.float32),     # fused (y,x) windows
+            pltpu.VMEM((bzc_s, by * bx), jnp.float32),
             pltpu.VMEM((1, rpt), jnp.float32),           # row relayout
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SemaphoreType.DMA,

@@ -173,8 +173,10 @@ class RayEmissionConfig:
     # parity, default) | 'exact' (classical/Born, grff/physics.py)
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
-    rays_per_tile: int = 128       # pallas lo-region tile size (lane width)
-    rays_per_tile_hi: int = 512    # wide-tile lane width (0: single-class)
+    rays_per_tile: int = 128       # pallas tile size (lane width)
+    rays_per_tile_hi: int = 0      # wide-tile lane width (0: single-class;
+    # per-tile kernel cost is linear in lanes, so a wide class only pays
+    # off if a future kernel regains a fixed per-tile cost)
     seg_records: int = 25          # pallas records per kernel segment
     tile_factor: int = 4           # lo-tile over-allocation for binning
     pallas_interpret: bool = False  # interpreter-mode kernels (tests)

@@ -9,17 +9,19 @@ Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
      domain into one bin (measured 40%+ brick-escape rates); refraction
      spreads bins apart over time, so binning once at launch is not
      enough either.
-  2. TWO-CLASS OCCUPANCY: the kernel's per-tile step cost is matmul-
-     latency-dominated, so per-LANE throughput rises steeply with lane
-     width (measured 29M/52M/75M lane-steps/s at 128/256/512 lanes) while
-     per-TILE cost rises slowly. Coherent bundles (leaves that fill a
-     wide tile) therefore run in `rpt_hi`-lane tiles at full occupancy;
-     chaotic post-reflection fans — whose leaves must stay small to keep
-     their bbox inside a brick — run in `rpt`-lane tiles where a sparse
-     leaf wastes less. A single-width layout cannot have both: wide
-     tiles waste lanes in the sparse phase, narrow tiles serialize the
-     coherent phase on matmul latency. The slot space is a fixed
-     [hi region | lo region] partition, so kernel shapes stay static.
+  2. OCCUPANCY IS THE THROUGHPUT KNOB: per-tile step cost is linear in
+     lane width with ~zero fixed term (~10.5 ns/lane-step at the default
+     brick; slope-method measurement, scripts/microbench_kernel.py — a
+     naive per-launch timing reads a phantom ~4 us/tile fixed cost that
+     is really the axon tunnel round-trip), so device time per step is
+     simply (occupied lanes)/(95M lanes/s) and wide tiles per se buy
+     nothing. Throughput is maximized by (a) bricks big enough that a
+     capacity-bound leaf fills most of a tile (the fused-(y,x) matmul in
+     ops/pallas_trace makes 32x16x16 bricks cost the same per lane as
+     16x8x16) and (b) a lane width `rpt` matched to the chaotic-phase
+     leaf size. A two-class [hi | lo] layout (rpt_hi > 0) exists for
+     workloads whose kernels regain a fixed per-tile cost, but is off by
+     default.
   3. Each segment advances `first_block + (rps-1)*stride` RK4 steps and
      yields `rps` records per ray (positions, cumulative S, Ne/Te/|B|),
      reproducing the reference's record schedule (a record after step i
@@ -127,19 +129,22 @@ def _kernel_call(tcube, scube, kstate, mesh, grid, rpt, rps, stride,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_th", "rpt_hi", "n_tl", "rpt_lo"))
-def _pre_kernel_dev(state, local, park_up, tailed, gperm,
-                    n_th, rpt_hi, n_tl, rpt_lo):
+    "n_th", "rpt_hi", "n_tl", "rpt_lo", "n_rays"))
+def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
+                    n_th, rpt_hi, n_tl, rpt_lo, n_rays):
     """Permute rows to the new binning and shape the (n_tot, 8) state into
     the two regions' (n_tiles, 8, width) tile layouts, pre-freezing parked
     rays (park mask completed ON DEVICE: host park | current tailed,
     gathered to slot order, because the host's tailed mirror is stale by
     design in the async loop).
 
-    Also emits a float16 (n_tot, 6) pos+k̂ snapshot: the next segment's
-    binning only needs 6 of the 8 columns at heuristic precision, and
-    halving+trimming the copy lets it hide fully behind kernel execution
-    on the ~30 MB/s tunnel."""
+    Also emits a float16 (n_rays, 6) pos+k̂ snapshot in ORIGINAL ray order
+    (gathered through `inv`, the orig->slot map): the next segment's
+    binning only needs the real rays' 6 columns at heuristic precision —
+    not the padding slots — and the f16 original-order slice is the
+    smallest possible copy to hide behind kernel execution on the
+    ~30 MB/s tunnel (a full slot-order snapshot was 4x bigger at
+    tile_factor=4)."""
     state = state[local]
     park = park_up | tailed[gperm]
     pf = park.astype(jnp.float32)
@@ -155,10 +160,11 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm,
 
     khi = tiles(parked[:n_hi], n_th, rpt_hi) if n_th else None
     klo = tiles(parked[n_hi:], n_tl, rpt_lo)
-    k = state[:, 3:6]
+    rows = state[inv[:n_rays]]
+    k = rows[:, 3:6]
     kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
     khat = k / jnp.maximum(kn, 1e-30)   # raw |k| ~ 1e8 overflows f16
-    key16 = jnp.concatenate([state[:, 0:3], khat], axis=1)
+    key16 = jnp.concatenate([rows[:, 0:3], khat], axis=1)
     return state, khi, klo, key16.astype(jnp.float16), park
 
 
@@ -217,12 +223,22 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
                  n_retried, seg_idx,
                  mesh, grid, rpt_hi, rpt_lo, n_tl, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, interpret,
-                 brick_lo, occ_r=4, nch_s=4):
+                 brick_lo, occ_r=1, nch_s=4):
     """Device-resident escape handling: compact the escapees of BOTH
     regions, re-run their segment in lo-region tiles at occupancy occ_r,
     merge records/end-states, and update the tail carries — all without a
     host round-trip, so the driver loop can dispatch segment after segment
     without ever blocking on escape counts.
+
+    occ_r=1 makes the retry all but escape-proof: a single-ray tile's
+    bbox is a point, so the brick recenters on it at every reload and
+    only retry-capacity overflow (> n_tl*occ_r escapees in one segment)
+    can still tail out. All-parked retry tiles skip their step loop, so
+    the retry costs ~(escapees x rpt x steps) lanes, not the full slot
+    space. The driver picks occ_r adaptively: 1 whenever the tile count
+    alone gives enough capacity (large workloads — zero tail-out on the
+    canonical bench), higher on small workloads where n_tl is the
+    binding constraint (a few re-escapes beat wholesale overflow).
 
     The retry binning is a rank compaction of the escapees in their slot
     order (cumsum + one co-sort, no gathers beyond jnp.take): slot order is
@@ -576,9 +592,10 @@ def iter_trace_segments(
     grid: UniformGrid, freq_hz,
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
-    rpt=128, seg_records=25, interpret=False, verbose=False,
+    rpt=256, seg_records=25, interpret=False, verbose=False,
     stats=None, mesh=None, brick=(BX, BY, BZ), tile_factor=4,
-    rpt_hi=512, hi_tile_slack=2.0, brick_hi=None, bvec=None,
+    rpt_hi=0, hi_tile_slack=2.0, brick_hi=None, bvec=None,
+    bin_horizon=1.3,
 ):
     """Generator yielding (rps, 8, n_tot) device records per segment, rows
     [x,y,z,S,ne,te,b,cos_theta], columns in ORIGINAL ray order (column i is ray
@@ -640,9 +657,27 @@ def iter_trace_segments(
         n_th, rpt_hi = 0, 0
     n_hi = n_th * rpt_hi
     n_tot = n_hi + n_lo
-    brick_lo = tuple(int(v) for v in brick)
-    brick_hi = brick_lo if brick_hi is None else tuple(int(v)
-                                                       for v in brick_hi)
+
+    # Retry occupancy: 1 (escape-proof single-ray tiles) whenever the tile
+    # count alone gives ~256 rays of per-segment retry capacity; on small
+    # workloads (few tiles) raise it so capacity overflow — which tails
+    # rays wholesale — stays the rare case (a 256-ray image at 8 tiles
+    # measured 55/256 rays tailed purely from occ_r=1's 8-ray capacity).
+    occ_r = max(1, min(rpt, -(-min(n_lo // 4, 256) // n_tl)))
+
+    def fit_brick(b):
+        """Shrink brick y/z to the cube: those axes are DMA-sliced, so a
+        brick taller than the cube would slice out of range (x rides the
+        full padded lane axis and tolerates any bx via the cyclic roll)."""
+        bx_, by_, bz_ = (int(v) for v in b)
+        while by_ > grid.ny and by_ > 2:
+            by_ //= 2
+        while bz_ > grid.nz and bz_ > 2:
+            bz_ //= 2
+        return (bx_, by_, bz_)
+
+    brick_lo = fit_brick(brick)
+    brick_hi = brick_lo if brick_hi is None else fit_brick(brick_hi)
 
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
     nch_s = 8 if bvec is not None else 4
@@ -689,24 +724,39 @@ def iter_trace_segments(
         [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
          (grid.nz - 1) * grid.dz], np.float32)
 
-    def bin_key(rows_h, parked, path_len):
+    tailed = np.zeros(n_tot, bool)      # host mirror (stale by design)
+    global_perm = np.arange(n_tot)      # slot -> original id
+    inv_host = np.arange(n_tot)         # original id -> slot
+    park_slots = None                   # set by the first binning
+
+    def bin_key(rows_h, path_len):
         """6-column bin key (current position + straight-line predicted
-        segment endpoint pos + khat*path_len) and the alive mask, from a
-        (n, 6) [pos, khat] snapshot. Grouping on both position and
-        endpoint keeps a tile's rays inside one brick for the whole
-        segment where the k-field fans out (reflection regions). Dead
-        (out-of-cube) and tailed rays are excluded from binning."""
+        segment endpoint pos + khat*path_len) and the alive mask, from
+        the (n_rays, 6) ORIGINAL-order [pos, khat] snapshot. Grouping on
+        both position and endpoint keeps a tile's rays inside one brick
+        for the whole segment where the k-field fans out (reflection
+        regions). Dead (out-of-cube) and tailed rays are excluded."""
         pos = rows_h[:, 0:3].astype(np.float32)
         end = pos + rows_h[:, 3:6].astype(np.float32) * np.float32(path_len)
         alive = np.all((pos >= bounds_lo) & (pos <= bounds_hi),
-                       axis=1) & ~parked
+                       axis=1) & ~tailed[:n_rays]
         return np.concatenate([pos, end], axis=1), alive
 
-    def bins_fit(key, act):
-        """True while the current binning still fits the bricks comfortably
-        (0.9 x capacity: rebins are pure overhead on the single-core host;
-        the device-side retry cleans up the extra escapes a near-full bin
-        produces, so rebinding can wait until bins nearly burst)."""
+    def bins_fit(key, alive):
+        """True while the current binning still fits the bricks.
+
+        The threshold is deliberately LOOSER (1.1x) than the splitter's
+        build target (1.0x capacity): a fresh binning always sits just
+        under 1.0x, so a tighter check would flunk it immediately and
+        force a rebind EVERY segment (measured: the coherent phase rebound
+        25/25 segments at a 0.9x threshold). Bins between 1.0-1.1x risk a
+        few brick escapes, which the device-resident occ_r=1 retry mops up
+        for ~nothing; rebinds cost ~0.15 s of single-core host time each
+        and are the steady-state critical path."""
+        safe = np.minimum(global_perm, n_rays - 1)
+        act = (global_perm < n_rays) & alive[safe] & ~park_slots
+        keys = key[safe]
+
         def region_ok(k, a, width, cap6):
             if k.size == 0:
                 return True
@@ -715,24 +765,22 @@ def iter_trace_segments(
             kmin = np.where(ab[:, :, None], kb, np.inf).min(axis=1)
             kmax = np.where(ab[:, :, None], kb, -np.inf).max(axis=1)
             empty = ~ab.any(axis=1)
-            return np.all((kmax - kmin <= 0.9 * cap6) | empty[:, None])
-        return (region_ok(key[:n_hi], act[:n_hi], rpt_hi, cap_hi6)
+            return np.all((kmax - kmin <= 1.1 * cap6) | empty[:, None])
+        return (region_ok(keys[:n_hi], act[:n_hi], rpt_hi, cap_hi6)
                 if n_th else True) \
-            and region_ok(key[n_hi:], act[n_hi:], rpt, cap_lo6)
+            and region_ok(keys[n_hi:], act[n_hi:], rpt, cap_lo6)
 
-    def bin_rays(rows_h, parked, force, path_len, prev_park):
-        """Two-class capacity-aware binning on the 6-column key. Returns
-        (perm, park) or None when the current binning still fits."""
-        key, alive = bin_key(rows_h, parked, path_len)
-        if not force and prev_park is not None \
-                and bins_fit(key, alive & ~prev_park):
+    def bin_rays(rows_h, force, path_len):
+        """Two-class capacity-aware binning on the 6-column original-order
+        key. Returns (gperm_new, park) — gperm_new[slot] = original id —
+        or None when the current binning still fits."""
+        key, alive = bin_key(rows_h, path_len)
+        if not force and park_slots is not None and bins_fit(key, alive):
             return None
-        return two_class_bin_slots(key, alive, rpt, n_tl, rpt_hi, n_th,
-                                   cap_hi6, cap_lo6)
-
-    tailed = np.zeros(n_tot, bool)      # host mirror (stale by design)
-    global_perm = np.arange(n_tot)
-    park_slots = None                   # set by the first binning
+        alive_full = np.zeros(n_tot, bool)
+        alive_full[:n_rays] = alive
+        return two_class_bin_slots(key, alive_full, rpt, n_tl, rpt_hi,
+                                   n_th, cap_hi6, cap_lo6)
     stats.setdefault("retried", 0)
     timers = stats.setdefault(
         "phase_s", {"fetch": 0.0, "bin": 0.0, "kernel": 0.0, "esc": 0.0})
@@ -746,7 +794,13 @@ def iter_trace_segments(
     # therefore one segment stale; the 2x prediction horizon below covers
     # the extra motion and the fast-path retry absorbs residual escapes.
     def horizon(fb, nrec):
-        return 2.0 * (fb + (nrec - 1) * record_stride) * dt * C_R
+        # bin_horizon x the segment's path length: the snapshot the bins
+        # are computed from is one segment stale, so >1 covers the extra
+        # motion; the device-resident retry absorbs what the margin
+        # misses, so a tight factor (bigger leaves -> higher occupancy)
+        # beats a safe one (2.0 measured ~35% smaller leaves, 0 retries
+        # saved, on the canonical bench)
+        return bin_horizon * (fb + (nrec - 1) * record_stride) * dt * C_R
 
     def host_key6(rows8):
         pos = np.asarray(rows8[:, 0:3], np.float32)
@@ -755,8 +809,8 @@ def iter_trace_segments(
         return np.concatenate(
             [pos, (k / np.maximum(kn, 1e-30)).astype(np.float32)], axis=1)
 
-    next_bin = bin_rays(host_key6(state_h), tailed, True,
-                        horizon(*plan[0]), None)
+    next_bin = bin_rays(host_key6(state_h[:n_rays]), True,
+                        horizon(*plan[0]))
 
     # ----------------------------------------------------------------------
     # Async loop: the host NEVER blocks on per-segment results. Each
@@ -779,30 +833,39 @@ def iter_trace_segments(
         [[0], np.cumsum([r for _, r in plan])[:-1]])
     park_up = None
 
+    def occ_stats(region, n_t, w):
+        act = ~park_slots[region].reshape(n_t, w)
+        tiles = int(act.any(1).sum())
+        occ = float(act.sum()) / max(1, tiles * w)
+        return tiles, round(occ, 4)
+
     for seg_i, (first_block, rps) in enumerate(plan):
         binres = next_bin
         next_bin = None
         if binres is not None:
-            local_np, park_slots = binres
+            gperm_new, park_slots = binres
             if n_hi:
-                stats.setdefault("hi_occ", []).append(
-                    round(1.0 - float(park_slots[:n_hi].mean()), 4))
-            stats.setdefault("lo_occ", []).append(
-                round(1.0 - float(park_slots[n_hi:].mean()), 4))
-            global_perm = global_perm[local_np]
-            inv = np.empty(n_tot, np.int64)
-            inv[global_perm] = np.arange(n_tot)
+                t, o = occ_stats(slice(0, n_hi), n_th, rpt_hi)
+                stats.setdefault("hi_tiles", []).append(t)
+                stats.setdefault("hi_occ", []).append(o)
+            t, o = occ_stats(slice(n_hi, None), n_tl, rpt)
+            stats.setdefault("lo_tiles", []).append(t)
+            stats.setdefault("lo_occ", []).append(o)
+            local_np = inv_host[gperm_new]
+            global_perm = gperm_new
+            inv_host = np.empty(n_tot, np.int64)
+            inv_host[global_perm] = np.arange(n_tot)
             local_dev = jnp.asarray(local_np.astype(np.int32))
             gperm_dev = jnp.asarray(global_perm.astype(np.int32))
-            inv_dev = jnp.asarray(inv.astype(np.int32))
+            inv_dev = jnp.asarray(inv_host.astype(np.int32))
             park_up = jnp.asarray(park_slots)
         else:
             local_dev = ident
 
         t0 = clock()
         seg_start, khi, klo, key16, park_dev = _pre_kernel_dev(
-            state, local_dev, park_up, tailed_dev, gperm_dev,
-            n_th, rpt_hi, n_tl, rpt)
+            state, local_dev, park_up, tailed_dev, gperm_dev, inv_dev,
+            n_th, rpt_hi, n_tl, rpt, n_rays)
         try:
             key16.copy_to_host_async()
         except AttributeError:
@@ -818,7 +881,8 @@ def iter_trace_segments(
             inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
             n_retried, seg_i, mesh, grid, rpt_hi, rpt, n_tl, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret, brick_lo, nch_s=nch_s)
+            trace_crosssections, interpret, brick_lo, occ_r=occ_r,
+            nch_s=nch_s)
         timers["kernel"] += clock() - t0
         yield recs
 
@@ -827,8 +891,7 @@ def iter_trace_segments(
             key_host = np.asarray(key16, np.float32)
             timers["fetch"] += clock() - t0
             t0 = clock()
-            next_bin = bin_rays(key_host, tailed, False,
-                                horizon(*plan[seg_i + 1]), park_slots)
+            next_bin = bin_rays(key_host, False, horizon(*plan[seg_i + 1]))
             timers["bin"] += clock() - t0
 
     # single read-back of the tail carries
@@ -996,8 +1059,8 @@ def trace_rays_pallas(
     grid: UniformGrid, freq_hz,
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
-    rpt=128, seg_records=25, interpret=False, verbose=False,
-    rpt_hi=512, brick_hi=None, bvec=None,
+    rpt=256, seg_records=25, interpret=False, verbose=False,
+    rpt_hi=0, brick_hi=None, bvec=None,
 ) -> PallasTraceResult:
     """Trace all rays with the fused Pallas kernel (cumulative-S semantics),
     assembling records on the host in original ray order. Records include
