@@ -65,7 +65,7 @@ def main():
     p.add_argument("--seg-records", type=int, default=16)
     p.add_argument("--tile-factor", type=int, default=4,
                    help="lo-tile over-allocation for capacity binning")
-    p.add_argument("--brick", default="32,16,16",
+    p.add_argument("--brick", default="32,16,32",
                    help="pallas brick nodes bx,by,bz")
     p.add_argument("--brick-hi", default=None,
                    help="pallas hi brick nodes (default: --brick)")

@@ -62,7 +62,13 @@ from ..grids import UniformGrid
 BX = 32        # x-window nodes (MXU contraction: near-free up to ~32)
 BY = 16        # brick nodes along y (MXU contraction since the fused-
 #                (y,x) matmul; was the binding VPU cost at 8 before that)
-BZ = 16        # brick nodes along z (VPU z-reduction + DMA rows)
+BZ = 32        # brick nodes along z (VPU z-reduction + DMA rows). Rays fly
+#                mostly along z, so the 6-col bin key's z-span (position +
+#                predicted segment endpoint) is the binding capacity axis:
+#                bz 16->32 measured late-phase occupancy 0.47->0.78 and
+#                30->43M ray-steps/s on the canonical bench. VMEM stays
+#                ~13.4M worst-case (nch_s=8) vs the 16M scoped limit;
+#                by=32 or bz=64 would overflow it.
 NCH = 4        # channels per cube (trace: wpe,gx,gy,gz; sample: ne,te,b,pad)
 BZC = BZ * NCH  # fused z*channel extent of a brick
 

@@ -128,6 +128,23 @@ def _kernel_call(tcube, scube, kstate, mesh, grid, rpt, rps, stride,
     return fn(tcube, scube, kstate)
 
 
+@jax.jit
+def _unpack_binning(packed, inv_prev):
+    """Unpack the single per-rebind host upload: `packed[slot]` carries the
+    new slot->original-id permutation in the low 31 bits and the park flag
+    in the sign bit. The derived arrays (inverse permutation via scatter,
+    the local slot->slot move through the PREVIOUS inverse) are computed
+    on device — uploading them separately cost ~4 tunnel round-trips per
+    rebind (~36 ms each) for data the device can derive from 1."""
+    park = packed < 0
+    gperm = packed & jnp.int32(0x7FFFFFFF)
+    iota = jnp.arange(packed.shape[0], dtype=jnp.int32)
+    inv = jnp.zeros_like(gperm).at[gperm].set(
+        iota, unique_indices=True)
+    local = inv_prev[gperm]
+    return gperm, inv, park, local
+
+
 @functools.partial(jax.jit, static_argnames=(
     "n_th", "rpt_hi", "n_tl", "rpt_lo", "n_rays"))
 def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
@@ -751,24 +768,34 @@ def iter_trace_segments(
         force a rebind EVERY segment (measured: the coherent phase rebound
         25/25 segments at a 0.9x threshold). Bins between 1.0-1.1x risk a
         few brick escapes, which the device-resident occ_r=1 retry mops up
-        for ~nothing; rebinds cost ~0.15 s of single-core host time each
-        and are the steady-state critical path."""
-        safe = np.minimum(global_perm, n_rays - 1)
-        act = (global_perm < n_rays) & alive[safe] & ~park_slots
-        keys = key[safe]
+        for ~nothing; rebinds cost host time and sit on the steady-state
+        critical path.
 
-        def region_ok(k, a, width, cap6):
-            if k.size == 0:
-                return True
-            kb = k.reshape(-1, width, 6)
-            ab = a.reshape(-1, width)
-            kmin = np.where(ab[:, :, None], kb, np.inf).min(axis=1)
-            kmax = np.where(ab[:, :, None], kb, -np.inf).max(axis=1)
-            empty = ~ab.any(axis=1)
-            return np.all((kmax - kmin <= 1.1 * cap6) | empty[:, None])
-        return (region_ok(keys[:n_hi], act[:n_hi], rpt_hi, cap_hi6)
-                if n_th else True) \
-            and region_ok(keys[n_hi:], act[n_hi:], rpt, cap_lo6)
+        Works in RAY space (active rays grouped by tile via one argsort +
+        reduceat) rather than slot space: the slot space is tile_factor x
+        over-allocated, and the old full-slot masked min/max cost ~0.15 s
+        per segment at 256^2 — more than the rebinds it was gating."""
+        slot = inv_host[:n_rays]
+        act = alive & ~park_slots[slot]
+        rows = np.flatnonzero(act)
+        if rows.size == 0:
+            return True
+        s = slot[rows]
+        if n_th:
+            tile = np.where(s < n_hi, s // rpt_hi, n_th + (s - n_hi) // rpt)
+        else:
+            tile = s // rpt
+        order = np.argsort(tile, kind="stable")
+        tile = tile[order]
+        k = key[rows[order]]
+        starts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+        kmin = np.minimum.reduceat(k, starts, axis=0)
+        kmax = np.maximum.reduceat(k, starts, axis=0)
+        if n_th:
+            cap = np.where(tile[starts][:, None] < n_th, cap_hi6, cap_lo6)
+        else:
+            cap = cap_lo6
+        return bool(np.all(kmax - kmin <= 1.1 * cap))
 
     def bin_rays(rows_h, force, path_len):
         """Two-class capacity-aware binning on the 6-column original-order
@@ -851,14 +878,13 @@ def iter_trace_segments(
             t, o = occ_stats(slice(n_hi, None), n_tl, rpt)
             stats.setdefault("lo_tiles", []).append(t)
             stats.setdefault("lo_occ", []).append(o)
-            local_np = inv_host[gperm_new]
             global_perm = gperm_new
             inv_host = np.empty(n_tot, np.int64)
             inv_host[global_perm] = np.arange(n_tot)
-            local_dev = jnp.asarray(local_np.astype(np.int32))
-            gperm_dev = jnp.asarray(global_perm.astype(np.int32))
-            inv_dev = jnp.asarray(inv_host.astype(np.int32))
-            park_up = jnp.asarray(park_slots)
+            packed = global_perm.astype(np.int32)
+            packed[park_slots] |= np.int32(-0x80000000)
+            gperm_dev, inv_dev, park_up, local_dev = _unpack_binning(
+                jnp.asarray(packed), inv_dev)
         else:
             local_dev = ident
 
