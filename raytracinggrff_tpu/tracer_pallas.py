@@ -148,6 +148,7 @@ def _unpack_binning(packed, inv_prev):
 @functools.partial(jax.jit, static_argnames=(
     "n_th", "rpt_hi", "n_tl", "rpt_lo", "n_rays"))
 def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
+                    path_len, caps2, bounds2,
                     n_th, rpt_hi, n_tl, rpt_lo, n_rays):
     """Permute rows to the new binning and shape the (n_tot, 8) state into
     the two regions' (n_tiles, 8, width) tile layouts, pre-freezing parked
@@ -159,9 +160,17 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
     (gathered through `inv`, the orig->slot map): the next segment's
     binning only needs the real rays' 6 columns at heuristic precision —
     not the padding slots — and the f16 original-order slice is the
-    smallest possible copy to hide behind kernel execution on the
-    ~30 MB/s tunnel (a full slot-order snapshot was 4x bigger at
-    tile_factor=4)."""
+    smallest possible copy on the ~30 MB/s tunnel (a full slot-order
+    snapshot was 4x bigger at tile_factor=4).
+
+    The bins-fit check also runs HERE, on device: each tile's active rays'
+    6-col key span (position + predicted endpoint at `path_len`) is
+    scatter-reduced and compared against 1.1x that tile's class capacity
+    (`caps2` = [cap_hi6, cap_lo6]; see the driver's rebind policy comment
+    for the 1.1x rationale). The host then reads ONE bool per segment and
+    fetches the f16 snapshot only on the segments that actually rebind —
+    the per-segment snapshot fetch was ~70% of steady-state wall time
+    through the tunnel once the kernels got fast."""
     state = state[local]
     park = park_up | tailed[gperm]
     pf = park.astype(jnp.float32)
@@ -181,8 +190,35 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
     k = rows[:, 3:6]
     kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
     khat = k / jnp.maximum(kn, 1e-30)   # raw |k| ~ 1e8 overflows f16
-    key16 = jnp.concatenate([rows[:, 0:3], khat], axis=1)
-    return state, khi, klo, key16.astype(jnp.float16), park
+    pos = rows[:, 0:3]
+    key16 = jnp.concatenate([pos, khat], axis=1)
+
+    slot = inv[:n_rays]
+    alive = jnp.all((pos >= bounds2[0]) & (pos <= bounds2[1]), axis=1) \
+        & ~tailed[:n_rays]
+    act = alive & ~park[slot]
+    key6 = jnp.concatenate([pos, pos + khat * path_len], axis=1)
+    if n_th:
+        tile = jnp.where(slot < n_hi, slot // rpt_hi,
+                         n_th + (slot - n_hi) // rpt_lo)
+    else:
+        tile = slot // rpt_lo
+    n_tiles = n_th + n_tl
+    kmin = jnp.full((n_tiles, 6), jnp.inf, jnp.float32).at[tile].min(
+        jnp.where(act[:, None], key6, jnp.inf))
+    kmax = jnp.full((n_tiles, 6), -jnp.inf, jnp.float32).at[tile].max(
+        jnp.where(act[:, None], key6, -jnp.inf))
+    # empty tiles give kmax-kmin = -inf <= cap (fits); NaN keys compare
+    # False (forces a rebind) — both the safe direction
+    capt = jnp.where((jnp.arange(n_tiles) < n_th)[:, None],
+                     caps2[0], caps2[1])
+    fit = jnp.all(kmax - kmin <= 1.1 * capt)
+    # `act` rides back with key16 on rebind segments so the host bins with
+    # the DEVICE's liveness (incl. fresh tails) — the host's own tailed
+    # mirror is stale by design, and binning device-tailed rays as alive
+    # polluted rebuilt leaves with frozen positions (measured: such leaves
+    # caused immediate brick escapes, 280 retries/56 tails per 256^2 run)
+    return state, khi, klo, key16.astype(jnp.float16), park, fit, act
 
 
 def _untile(kstate):
@@ -741,77 +777,48 @@ def iter_trace_segments(
         [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
          (grid.nz - 1) * grid.dz], np.float32)
 
-    tailed = np.zeros(n_tot, bool)      # host mirror (stale by design)
-    global_perm = np.arange(n_tot)      # slot -> original id
-    inv_host = np.arange(n_tot)         # original id -> slot
     park_slots = None                   # set by the first binning
 
-    def bin_key(rows_h, path_len):
+    def bin_key(rows_h, act_h, path_len):
         """6-column bin key (current position + straight-line predicted
         segment endpoint pos + khat*path_len) and the alive mask, from
         the (n_rays, 6) ORIGINAL-order [pos, khat] snapshot. Grouping on
         both position and endpoint keeps a tile's rays inside one brick
         for the whole segment where the k-field fans out (reflection
-        regions). Dead (out-of-cube) and tailed rays are excluded."""
+        regions). Dead (out-of-cube) and tailed rays are excluded: act_h
+        is the device's own activity mask (fresh tails included) when the
+        snapshot came off device, None for the host-built initial state."""
         pos = rows_h[:, 0:3].astype(np.float32)
         end = pos + rows_h[:, 3:6].astype(np.float32) * np.float32(path_len)
-        alive = np.all((pos >= bounds_lo) & (pos <= bounds_hi),
-                       axis=1) & ~tailed[:n_rays]
+        alive = (np.all((pos >= bounds_lo) & (pos <= bounds_hi), axis=1)
+                 if act_h is None else np.asarray(act_h))
         return np.concatenate([pos, end], axis=1), alive
 
-    def bins_fit(key, alive):
-        """True while the current binning still fits the bricks.
-
-        The threshold is deliberately LOOSER (1.1x) than the splitter's
-        build target (1.0x capacity): a fresh binning always sits just
-        under 1.0x, so a tighter check would flunk it immediately and
-        force a rebind EVERY segment (measured: the coherent phase rebound
-        25/25 segments at a 0.9x threshold). Bins between 1.0-1.1x risk a
-        few brick escapes, which the device-resident occ_r=1 retry mops up
-        for ~nothing; rebinds cost host time and sit on the steady-state
-        critical path.
-
-        Works in RAY space (active rays grouped by tile via one argsort +
-        reduceat) rather than slot space: the slot space is tile_factor x
-        over-allocated, and the old full-slot masked min/max cost ~0.15 s
-        per segment at 256^2 — more than the rebinds it was gating."""
-        slot = inv_host[:n_rays]
-        act = alive & ~park_slots[slot]
-        rows = np.flatnonzero(act)
-        if rows.size == 0:
-            return True
-        s = slot[rows]
-        if n_th:
-            tile = np.where(s < n_hi, s // rpt_hi, n_th + (s - n_hi) // rpt)
-        else:
-            tile = s // rpt
-        order = np.argsort(tile, kind="stable")
-        tile = tile[order]
-        k = key[rows[order]]
-        starts = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
-        kmin = np.minimum.reduceat(k, starts, axis=0)
-        kmax = np.maximum.reduceat(k, starts, axis=0)
-        if n_th:
-            cap = np.where(tile[starts][:, None] < n_th, cap_hi6, cap_lo6)
-        else:
-            cap = cap_lo6
-        return bool(np.all(kmax - kmin <= 1.1 * cap))
-
-    def bin_rays(rows_h, force, path_len):
+    # Whether the current binning still fits is checked ON DEVICE in
+    # _pre_kernel_dev (one bool read per segment instead of the full f16
+    # snapshot fetch). The threshold there is deliberately LOOSER (1.1x)
+    # than the splitter's build target (1.0x capacity): a fresh binning
+    # always sits just under 1.0x, so a tighter check would flunk it
+    # immediately and force a rebind EVERY segment (measured: the coherent
+    # phase rebound 25/25 segments at a 0.9x threshold). Bins between
+    # 1.0-1.1x risk a few brick escapes, which the device-resident occ_r=1
+    # retry mops up for ~nothing; rebinds cost host time and a snapshot
+    # fetch on the steady-state critical path.
+    def bin_rays(rows_h, act_h, path_len):
         """Two-class capacity-aware binning on the 6-column original-order
-        key. Returns (gperm_new, park) — gperm_new[slot] = original id —
-        or None when the current binning still fits."""
-        key, alive = bin_key(rows_h, path_len)
-        if not force and park_slots is not None and bins_fit(key, alive):
-            return None
+        key. Returns (gperm_new, park) — gperm_new[slot] = original id."""
+        key, alive = bin_key(rows_h, act_h, path_len)
         alive_full = np.zeros(n_tot, bool)
         alive_full[:n_rays] = alive
         return two_class_bin_slots(key, alive_full, rpt, n_tl, rpt_hi,
                                    n_th, cap_hi6, cap_lo6)
     stats.setdefault("retried", 0)
     timers = stats.setdefault(
-        "phase_s", {"fetch": 0.0, "bin": 0.0, "kernel": 0.0, "esc": 0.0})
+        "phase_s", {"fit": 0.0, "fetch": 0.0, "bin": 0.0, "kernel": 0.0,
+                    "esc": 0.0})
     clock = _time.perf_counter
+    caps2_dev = jnp.asarray(np.stack([cap_hi6, cap_lo6]), jnp.float32)
+    bounds2_dev = jnp.asarray(np.stack([bounds_lo, bounds_hi]), jnp.float32)
 
     # Pipelined binning: segment i+1's binning runs WHILE segment i's
     # kernel executes, using segment i's START state (whose device->host
@@ -836,7 +843,7 @@ def iter_trace_segments(
         return np.concatenate(
             [pos, (k / np.maximum(kn, 1e-30)).astype(np.float32)], axis=1)
 
-    next_bin = bin_rays(host_key6(state_h[:n_rays]), True,
+    next_bin = bin_rays(host_key6(state_h[:n_rays]), None,
                         horizon(*plan[0]))
 
     # ----------------------------------------------------------------------
@@ -844,10 +851,11 @@ def iter_trace_segments(
     # segment is three queued device programs (permute/park -> kernels ->
     # device-side retry+merge); escape handling and tail bookkeeping live
     # in device carries, read back ONCE after the whole trace. The only
-    # host reads are the f16 binning snapshots, which throttle the host to
-    # ~one segment behind the device — exactly the depth needed to bin
-    # segment i+1 while segment i executes. With `mesh`, the same programs
-    # run shard_mapped/GSPMD-partitioned over the 'rays' axis.
+    # per-segment host read is a 1-byte bins-fit flag (computed on device
+    # in _pre_kernel_dev), which throttles the host to ~one segment behind
+    # the device; the f16 binning snapshot is fetched ONLY on the segments
+    # that actually rebind. With `mesh`, the same programs run
+    # shard_mapped/GSPMD-partitioned over the 'rays' axis.
     # ----------------------------------------------------------------------
     ident = jnp.arange(n_tot, dtype=jnp.int32)
     gperm_dev = ident
@@ -878,10 +886,7 @@ def iter_trace_segments(
             t, o = occ_stats(slice(n_hi, None), n_tl, rpt)
             stats.setdefault("lo_tiles", []).append(t)
             stats.setdefault("lo_occ", []).append(o)
-            global_perm = gperm_new
-            inv_host = np.empty(n_tot, np.int64)
-            inv_host[global_perm] = np.arange(n_tot)
-            packed = global_perm.astype(np.int32)
+            packed = gperm_new.astype(np.int32)
             packed[park_slots] |= np.int32(-0x80000000)
             gperm_dev, inv_dev, park_up, local_dev = _unpack_binning(
                 jnp.asarray(packed), inv_dev)
@@ -889,11 +894,15 @@ def iter_trace_segments(
             local_dev = ident
 
         t0 = clock()
-        seg_start, khi, klo, key16, park_dev = _pre_kernel_dev(
+        horiz = (horizon(*plan[seg_i + 1])
+                 if seg_i + 1 < len(plan) else 0.0)
+        seg_start, khi, klo, key16, park_dev, fit_dev, act_dev = \
+            _pre_kernel_dev(
             state, local_dev, park_up, tailed_dev, gperm_dev, inv_dev,
+            jnp.float32(horiz), caps2_dev, bounds2_dev,
             n_th, rpt_hi, n_tl, rpt, n_rays)
         try:
-            key16.copy_to_host_async()
+            fit_dev.copy_to_host_async()
         except AttributeError:
             pass
         state_main, esc_dev, raw_hi, raw_lo = _trace_graph(
@@ -914,11 +923,22 @@ def iter_trace_segments(
 
         if seg_i + 1 < len(plan):
             t0 = clock()
-            key_host = np.asarray(key16, np.float32)
-            timers["fetch"] += clock() - t0
-            t0 = clock()
-            next_bin = bin_rays(key_host, False, horizon(*plan[seg_i + 1]))
-            timers["bin"] += clock() - t0
+            fit = bool(np.asarray(fit_dev))
+            timers["fit"] += clock() - t0
+            if not fit:
+                t0 = clock()
+                for arr in (key16, act_dev):
+                    try:
+                        arr.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                key_host = np.asarray(key16, np.float32)
+                act_host = np.asarray(act_dev)
+                timers["fetch"] += clock() - t0
+                t0 = clock()
+                next_bin = bin_rays(key_host, act_host,
+                                    horizon(*plan[seg_i + 1]))
+                timers["bin"] += clock() - t0
 
     # single read-back of the tail carries
     t0 = clock()
