@@ -69,6 +69,12 @@ def main():
                    help="pallas brick nodes bx,by,bz")
     p.add_argument("--brick-hi", default=None,
                    help="pallas hi brick nodes (default: --brick)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="bench the FULL emission pipeline (trace + "
+                        "streamed GRFF transfer) and report s/frequency "
+                        "against the BASELINE <1 s/freq-on-8-chips target")
+    p.add_argument("--nfreq", type=int, default=3,
+                   help="--pipeline: transfer frequencies per trace")
     args = p.parse_args()
     brick = tuple(int(v) for v in args.brick.split(","))
     brick_hi = (tuple(int(v) for v in args.brick_hi.split(","))
@@ -87,6 +93,54 @@ def main():
 
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
+
+    if args.pipeline:
+        # Full production pipeline on the canonical workload: one trace at
+        # --freq plus the streamed GRFF transfer over --nfreq frequencies
+        # (TbSpectra sweeps re-trace per frequency, so s/frequency here is
+        # trace + transfer/nfreq — the reference's per-frequency unit,
+        # script/pub/TbSpectra_gen.py:115-117). BASELINE target:
+        # < 1 s/frequency on v5e-8 => < 8 s/frequency per chip.
+        from raytracinggrff_tpu.pipeline import (RayEmissionConfig,
+                                                 run_ray_tracing_emission)
+        cubes = {"omega_pe": jnp.asarray(omega_pe), "ne": jnp.asarray(ne),
+                 "te": jnp.asarray(te), "b": jnp.asarray(b)}
+        cfg = RayEmissionConfig(
+            n_pix=args.n_pix, freq_hz=args.freq, grid_n=args.grid_n,
+            grid_extent=3.0, z_observer=3.0, dt=6e-3, n_steps=args.n_steps,
+            record_stride=args.record_stride, nfreq=args.nfreq,
+            freq0=args.freq, freq_log_step=0.05, s_input_on=True,
+            tracer_backend=args.tracer, rays_per_tile=args.rpt,
+            rays_per_tile_hi=args.rpt_hi, seg_records=args.seg_records,
+            tile_factor=args.tile_factor)
+
+        def run_pipe():
+            res = run_ray_tracing_emission(config=cfg, cubes=cubes,
+                                           verbose=False)
+            # forcing the host cube is the honest completion point
+            assert np.isfinite(res["emission_cube"]).any()
+
+        t0 = time.perf_counter()
+        run_pipe()
+        warmup_s = time.perf_counter() - t0
+        note(f"pipeline warmup (incl. compile): {warmup_s:.1f}s")
+        times = []
+        for i in range(args.repeat):
+            t0 = time.perf_counter()
+            run_pipe()
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            note(f"repeat {i}: {dt:.2f}s  ({dt / args.nfreq:.2f} s/freq)")
+        median = float(np.median(times))
+        print(json.dumps({
+            "metric": "pipeline-s-per-frequency",
+            "value": round(median / args.nfreq, 3),
+            "unit": "s/freq/chip",
+            "vs_baseline": round(8.0 / (median / args.nfreq), 3),
+            "times_s": [round(t, 2) for t in times],
+            "warmup_s": round(warmup_s, 1),
+        }))
+        return
 
     if args.tracer == "pallas":
         from raytracinggrff_tpu.tracer_pallas import (iter_tail_traces,

@@ -71,6 +71,13 @@ BZ = 32        # brick nodes along z (VPU z-reduction + DMA rows). Rays fly
 #                by=32 or bz=64 would overflow it.
 NCH = 4        # channels per cube (trace: wpe,gx,gy,gz; sample: ne,te,b,pad)
 BZC = BZ * NCH  # fused z*channel extent of a brick
+CHECK_EVERY = 4  # steps between brick-bounds checks; the reload margin
+#                covers exactly this many steps of motion, so larger values
+#                trade a slightly smaller usable brick for fewer bbox
+#                reductions. 8 measured only +1.7% (within tunnel noise)
+#                on the canonical TPU bench while growing the unrolled
+#                step-group graph (interpret-mode test time +60%), so 4
+#                stands. The driver's _brick_capacity reads this constant.
 
 
 def _tent_weights(l, n_rows, rows):
@@ -84,7 +91,7 @@ def _tent_weights(l, n_rows, rows):
 
 def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, nx_pad,
-                 bx=BX, by=BY, bz=BZ, check_every=4, nch_s=NCH):
+                 bx=BX, by=BY, bz=BZ, check_every=CHECK_EVERY, nch_s=NCH):
     nx, ny, nz = grid.shape
     inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
     x0, y0, z0 = (np.float32(v) for v in grid.origin)

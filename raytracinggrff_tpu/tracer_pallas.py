@@ -72,7 +72,7 @@ import jax
 import jax.numpy as jnp
 
 from .grids import UniformGrid
-from .ops.pallas_trace import (BX, BY, BZ, PallasSegmentResult,
+from .ops.pallas_trace import (BX, BY, BZ, CHECK_EVERY, PallasSegmentResult,
                                pack_cube_zc, run_trace_segment)
 from .ops.trilinear import pack_fields, trilinear_packed
 from .tracer import gradient_cubes, init_k_vectors, pack_trace_table, \
@@ -631,8 +631,9 @@ def _brick_capacity(grid, brick, dt, perturb_ratio, trace_crosssections):
     reach incl. the pipelined pair's one-step lag + one interpolation cell,
     matching ops.pallas_trace._make_kernel), duplicated for the
     predicted-endpoint columns of the 6-col bin key."""
-    reach = ((perturb_ratio + 6.0) if trace_crosssections else 5.0) \
-        * dt * C_R
+    ce = CHECK_EVERY
+    reach = ((perturb_ratio + 2.0 + ce) if trace_crosssections
+             else (1.0 + ce)) * dt * C_R
     steps_d = np.array([grid.dx, grid.dy, grid.dz])
     marg = 1.0 + reach / steps_d
     capacity = np.maximum(np.array(brick, np.float64) - 1.0 - 2.0 * marg,
