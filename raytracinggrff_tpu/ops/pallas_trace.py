@@ -90,13 +90,12 @@ def _tent_weights(l, n_rows, rows):
 
 
 def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
-                 dt, perturb_ratio, trace_crosssections, nx_pad,
+                 perturb_ratio, trace_crosssections, nx_pad,
                  bx=BX, by=BY, bz=BZ, check_every=CHECK_EVERY, nch_s=NCH):
     nx, ny, nz = grid.shape
     inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
     x0, y0, z0 = (np.float32(v) for v in grid.origin)
     fnx, fny, fnz = np.float32(nx - 1), np.float32(ny - 1), np.float32(nz - 1)
-    dt = np.float32(dt)
     c_r = np.float32(C_R)
     pr = np.float32(perturb_ratio)
     bzc = bz * NCH
@@ -104,24 +103,6 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     # staging lane width: the per-y-row rolls that build the fused windows
     # slice their first by*bx lanes, so staging must be at least that wide
     w_pad = max(nx_pad, by * bx)
-    # Per-axis reload margin in cells: everything that can poke beyond the
-    # ACTIVE bbox before the next bounds check — check_every steps of
-    # motion (<= dt*C_R each), the cross-section perturbation offset
-    # (pr * step) and the perturbed ray's own step, PLUS one step for the
-    # software-pipelined perturbed pair (it is launched from the main
-    # ray's PREVIOUS position, see step_merged) — plus one cell for the
-    # trailing interpolation node. Without this margin, coherent bundles
-    # escape between checks (measured 98% tail-out on a 300 MHz
-    # straight-through workload with the old fixed 1-cell margin).
-    # check_every > 1 trades a slightly smaller usable brick for skipping
-    # the bbox reductions + scalar-unit conditional most steps — the
-    # fixed per-tile-step cost they impose (~3.5 us) dominated the kernel
-    # at rpt=128.
-    reach = (pr + 2.0 + check_every) * dt * C_R if trace_crosssections \
-        else (1.0 + check_every) * dt * C_R
-    marg_x = np.float32(1.0 + reach * inv_dx)
-    marg_y = np.float32(1.0 + reach * inv_dy)
-    marg_z = np.float32(1.0 + reach * inv_dz)
 
     def to_frac(px, py, pz):
         return ((px - x0) * inv_dx, (py - y0) * inv_dy, (pz - z0) * inv_dz)
@@ -147,9 +128,31 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
         t3 = jnp.sum(t1 * wz[:, None, :], axis=0)    # (C, R)
         return tuple(t3[c:c + 1] for c in range(nch))
 
-    def kernel(tcube, scube, state_in, state_out, rec_out,
+    def kernel(dt_ref, tcube, scube, state_in, state_out, rec_out,
                tbrick, sbrick, twin, swin, nrow, orig_ref, sem):
         state = state_in[0]                       # (8, rpt)
+        # dt arrives as an SMEM scalar so one compiled kernel serves every
+        # step size: the production TbSpectra sweep uses a distinct dt per
+        # frequency (cli/tb_spectra.py presets), and dt-as-static cost
+        # ~90 s of XLA+Mosaic recompile per frequency.
+        dt = dt_ref[0]
+        # Per-axis reload margin in cells: everything that can poke beyond
+        # the ACTIVE bbox before the next bounds check — check_every steps
+        # of motion (<= dt*C_R each), the cross-section perturbation offset
+        # (pr * step) and the perturbed ray's own step, PLUS one step for
+        # the software-pipelined perturbed pair (it is launched from the
+        # main ray's PREVIOUS position, see step_merged) — plus one cell
+        # for the trailing interpolation node. Without this margin,
+        # coherent bundles escape between checks (measured 98% tail-out on
+        # a 300 MHz straight-through workload with the old fixed 1-cell
+        # margin). check_every > 1 trades a slightly smaller usable brick
+        # for skipping the bbox reductions + scalar-unit conditional most
+        # steps.
+        reach = ((pr + 2.0 + check_every) if trace_crosssections
+                 else (1.0 + check_every)) * dt * c_r
+        marg_x = 1.0 + reach * inv_dx
+        marg_y = 1.0 + reach * inv_dy
+        marg_z = 1.0 + reach * inv_dz
 
         orig_ref[0] = jnp.int32(-10000)           # ox; force initial load
         orig_ref[1] = jnp.int32(-10000)           # oy
@@ -574,7 +577,7 @@ class PallasSegmentResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "rpt", "rps", "stride", "first_block", "dt",
+    static_argnames=("grid", "rpt", "rps", "stride", "first_block",
                      "perturb_ratio", "trace_crosssections", "interpret",
                      "bx", "by", "bz", "sample_channels"))
 def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
@@ -598,13 +601,15 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     bzc = bz * NCH
     bzc_s = bz * sample_channels
     w_pad = max(nx_pad, by * bx)
-    kernel = _make_kernel(grid, rpt, rps, stride, first_block, float(dt),
+    dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
+    kernel = _make_kernel(grid, rpt, rps, stride, first_block,
                           float(perturb_ratio), trace_crosssections, nx_pad,
                           bx, by, bz, nch_s=sample_channels)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 8, rpt), lambda t: (t, 0, 0),
@@ -630,7 +635,7 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(tcube, scube, state)
+    )(dt_arr, tcube, scube, state)
     return PallasSegmentResult(state=out[0], records=out[1])
 
 

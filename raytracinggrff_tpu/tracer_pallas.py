@@ -115,17 +115,17 @@ def _kernel_call(tcube, scube, kstate, mesh, grid, rpt, rps, stride,
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     fn = shard_map(
-        lambda a, b, c: run_trace_segment(
-            a, b, c, grid, rpt, rps, stride, first_block, dt,
+        lambda a, b, c, d: run_trace_segment(
+            a, b, c, grid, rpt, rps, stride, first_block, d,
             perturb_ratio, trace_crosssections, interpret,
             bx=bx, by=by, bz=bz, sample_channels=nch_s),
         mesh=mesh,
-        in_specs=(P(), P(), P("rays", None, None)),
+        in_specs=(P(), P(), P("rays", None, None), P()),
         out_specs=PallasSegmentResult(
             state=P("rays", None, None),
             records=P("rays", None, None, None)),
         check_vma=False)
-    return fn(tcube, scube, kstate)
+    return fn(tcube, scube, kstate, jnp.asarray(dt, jnp.float32))
 
 
 @jax.jit
@@ -236,7 +236,7 @@ def _untile_recs(rec_tiles):
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "grid", "rpt_hi", "rpt_lo", "rps", "stride", "first_block",
-    "dt", "perturb_ratio", "trace_crosssections", "interpret",
+    "perturb_ratio", "trace_crosssections", "interpret",
     "brick_hi", "brick_lo", "nch_s"))
 def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
                  stride, first_block, dt, perturb_ratio,
@@ -269,7 +269,7 @@ def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "grid", "rpt_hi", "rpt_lo", "n_tl", "rps", "stride",
-    "first_block", "dt", "perturb_ratio", "trace_crosssections",
+    "first_block", "perturb_ratio", "trace_crosssections",
     "interpret", "brick_lo", "occ_r", "nch_s"))
 def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
                  inv, park_main, tailed, tail_state, tail_seg,
@@ -1037,7 +1037,7 @@ def iter_tail_traces(stats, omega_pe_cube, ne_cube, te_cube, b_cube,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "grid", "dt", "first_block", "horizon", "stride",
+    "grid", "first_block", "horizon", "stride",
     "trace_crosssections", "perturb_ratio"))
 def _trace_tail_chunk(trace_table, model_table, grid, st, rem, fills, dt,
                       first_block, horizon, stride, trace_crosssections,
