@@ -81,6 +81,35 @@ def select_params(freq_hz):
     return p
 
 
+def quantize_params(p, seg_records=25):
+    """Snap a preset onto the sweep's shared-compilation lattice.
+
+    The reference presets interpolate grid_n and n_steps continuously in
+    log-frequency (TbSpectra_gen.py:56-70), which on TPU makes every
+    high-band frequency a unique cube shape (fresh resample + fresh
+    XLA/Mosaic compile) and a unique segment plan (fresh kernel variants).
+    Two TPU-native adjustments, both only ever granting MORE resolution
+    or steps than the preset asked for:
+
+    * grid_n rounds UP to a multiple of 64 -> a 30-frequency sweep shares
+      ~4 cube shapes instead of ~15 (resample cache + compile cache hits).
+    * n_steps rounds UP so the trace is a whole number of full
+      (seg_records x record_stride)-step segments -> one kernel/driver
+      graph variant per record_stride instead of three (leading, bulk,
+      trailing). Extra steps land after rays have left the cube and
+      record frozen no-op rows.
+
+    Disable with --exact-presets for strict reference-preset parity.
+    """
+    q = dict(p)
+    q["grid_n"] = -(-int(p["grid_n"]) // 64) * 64
+    stride = int(p["record_stride"])
+    n_rec = -(-int(p["n_steps"]) // stride)
+    n_rec = -(-n_rec // seg_records) * seg_records
+    q["n_steps"] = n_rec * stride
+    return q
+
+
 def save_map_png(tb_map, x_coords_m, y_coords_m, freq_hz, out_png):
     """One sweep frame: T_b map with a dotted photosphere circle."""
     from ..utils.plotting import _plt
@@ -120,6 +149,11 @@ def build_parser():
     p.add_argument("--s-input-on", action="store_true")
     p.add_argument("--plot-only", action="store_true",
                    help="Only regenerate pngs from existing npz files")
+    p.add_argument("--exact-presets", action="store_true",
+                   help="Use the reference's exact per-frequency presets "
+                        "instead of the shared-compilation lattice "
+                        "(see quantize_params; slower: every frequency "
+                        "compiles and resamples its own shapes)")
     p.add_argument("--quiet", "-q", action="store_true")
     # compat no-ops
     p.add_argument("--device", default="tpu")
@@ -148,6 +182,8 @@ def main(argv=None):
         if i < args.start_from_idx:
             continue
         p = select_params(float(freq_hz))
+        if not args.exact_presets:
+            p = quantize_params(p)
         tag = f"{i:02d}_{freq_hz/1e6:08.3f}MHz"
         npz_path = out_dir / f"raytrace_{tag}.npz"
         png_path = out_dir / f"Tb_map_{tag}.png"

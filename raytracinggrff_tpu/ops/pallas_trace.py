@@ -196,7 +196,7 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
 
             @pl.when(need)
             def _():
-                def center(mn, mx, n, bw):
+                def center(mn, mx, n, bw, align=1):
                     c = 0.5 * (jnp.maximum(mn, 0.0)
                                + jnp.minimum(mx, np.float32(n - 1)))
                     # bw > n (brick wider than the cube, x only: y/z are
@@ -204,26 +204,47 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
                     # clip(x, 0, n-bw) with n-bw < 0 would yield a NEGATIVE
                     # origin and shift window reads into the staging
                     # buffer's uninitialized tail lanes
-                    return jnp.clip((c - bw / 2 + 0.5).astype(jnp.int32),
-                                    0, max(n - bw, 0))
+                    o = jnp.clip((c - bw / 2 + 0.5).astype(jnp.int32),
+                                 0, max(n - bw, 0))
+                    # the cube DMA slices dim 1 at origin*nch: Mosaic must
+                    # prove that offset divisible by the sublane tile (8),
+                    # so for nch < 8 the z origin is rounded down to a
+                    # multiple of 8/nch (shape-dependent otherwise: nz=128
+                    # happened to compile, the production 256^3 low-band
+                    # grid did not). Rounding down stays >= 0 and costs at
+                    # most align-1 cells of usable margin (the driver's
+                    # _brick_capacity budgets for it).
+                    return o & ~jnp.int32(align - 1) if align > 1 else o
 
                 nox = center(xmin, xmax, nx, bx)
                 noy = center(ymin, ymax, ny, by)
-                noz = center(zmin, zmax, nz, bz)
+                zalign = max(1, 8 // min(NCH, nch_s))
+                noz = center(zmin, zmax, nz, bz, align=zalign)
                 orig_ref[0] = nox
                 orig_ref[1] = noy
                 orig_ref[2] = noz
+                def zstart(orig, nch):
+                    # express the dim-1 slice offset as <quotient> * 8 so
+                    # Mosaic's divisibility prover accepts it against the
+                    # (8, 128) sublane tiling — orig*nch alone is only
+                    # provably divisible by nch (`orig` is rounded to a
+                    # multiple of 8/nch above, so the floor-div is exact)
+                    al = max(1, 8 // nch)
+                    return (orig // al) * (al * nch)
+
                 dst1 = tbrick if w_pad == nx_pad \
                     else tbrick.at[:, :, pl.ds(0, nx_pad)]
                 cp1 = pltpu.make_async_copy(
-                    tcube.at[pl.ds(noy, by), pl.ds(noz * NCH, bzc), :],
+                    tcube.at[pl.ds(noy, by), pl.ds(zstart(noz, NCH), bzc),
+                             :],
                     dst1, sem)
                 cp1.start()
                 cp1.wait()
                 dst2 = sbrick if w_pad == nx_pad \
                     else sbrick.at[:, :, pl.ds(0, nx_pad)]
                 cp2 = pltpu.make_async_copy(
-                    scube.at[pl.ds(noy, by), pl.ds(noz * nch_s, bzc_s), :],
+                    scube.at[pl.ds(noy, by),
+                             pl.ds(zstart(noz, nch_s), bzc_s), :],
                     dst2, sem)
                 cp2.start()
                 cp2.wait()

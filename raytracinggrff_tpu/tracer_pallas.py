@@ -636,7 +636,11 @@ def _brick_capacity(grid, brick, dt, perturb_ratio, trace_crosssections):
              else (1.0 + ce)) * dt * C_R
     steps_d = np.array([grid.dx, grid.dy, grid.dz])
     marg = 1.0 + reach / steps_d
-    capacity = np.maximum(np.array(brick, np.float64) - 1.0 - 2.0 * marg,
+    # [0, 0, 1]: the kernel rounds the z brick origin down to an even cell
+    # (DMA sublane-tile alignment of the fused z*channel dim), worth up to
+    # one cell of usable z extent
+    capacity = np.maximum(np.array(brick, np.float64) - 1.0 - 2.0 * marg
+                          - np.array([0.0, 0.0, 1.0]),
                           1.0) * steps_d
     return np.concatenate([capacity, capacity])
 
@@ -691,6 +695,46 @@ def iter_trace_segments(
     # binner cannot isolate chaotic post-reflection rays (a 16^2 image at
     # 4 tiles measured 71% tail-out; at 32 tiles effectively none)
     n_lo = max(n_lo, 32 * rpt)
+    # Adaptive floor from a LAUNCH-state probe: sparse-ray workloads (small
+    # n_pix over a wide FOV — e.g. the TbSpectra low band at reduced N_pix)
+    # need more capacity leaves than rays/rpt would suggest, because each
+    # leaf must fit one brick regardless of how few rays it holds. With the
+    # static budget a 32^2-pixel sweep frame measured 95% tail-out (the
+    # binner stuffed the un-splittable remainder capacity-blind and every
+    # stuffed ray escaped on its first step). One unbounded kd split of the
+    # launch positions counts the leaves actually needed; 2x that covers
+    # mid-trace dispersal, and the device retry/tails absorb the rest.
+    def fit_brick(b):
+        """Shrink brick y/z to the cube: those axes are DMA-sliced, so a
+        brick taller than the cube would slice out of range (x rides the
+        full padded lane axis and tolerates any bx via the cyclic roll)."""
+        bx_, by_, bz_ = (int(v) for v in b)
+        while by_ > grid.ny and by_ > 2:
+            by_ //= 2
+        while bz_ > grid.nz and bz_ > 2:
+            bz_ //= 2
+        return (bx_, by_, bz_)
+
+    brick_lo = fit_brick(brick)
+    brick_hi = brick_lo if brick_hi is None else fit_brick(brick_hi)
+    plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
+    path0 = (bin_horizon * (plan[0][0] + (plan[0][1] - 1) * record_stride)
+             * dt * C_R)
+    pos0 = np.asarray(start, np.float32)
+    k0h = np.asarray(kdir, np.float32)
+    key0 = np.concatenate([pos0, pos0 + k0h * np.float32(path0)], axis=1)
+    blo = np.array(grid.origin, np.float32)
+    bhi = blo + np.array([(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
+                          (grid.nz - 1) * grid.dz], np.float32)
+    idx0 = np.flatnonzero(
+        np.all((pos0 >= blo) & (pos0 <= bhi), axis=1)).astype(np.int64)
+    if len(idx0):
+        cap0 = _brick_capacity(grid, brick_lo, dt, perturb_ratio,
+                               trace_crosssections)
+        _, counts0 = _split_leaves_levels(
+            key0 / cap0, idx0, np.array([len(idx0)], np.int64), rpt,
+            n_rays)
+        n_lo = max(n_lo, 2 * len(counts0) * rpt)
     n_shards = int(mesh.shape["rays"]) if mesh is not None else 1
     if n_shards > 1:
         # every shard needs at least one lo tile
@@ -719,20 +763,6 @@ def iter_trace_segments(
     # measured 55/256 rays tailed purely from occ_r=1's 8-ray capacity).
     occ_r = max(1, min(rpt, -(-min(n_lo // 4, 256) // n_tl)))
 
-    def fit_brick(b):
-        """Shrink brick y/z to the cube: those axes are DMA-sliced, so a
-        brick taller than the cube would slice out of range (x rides the
-        full padded lane axis and tolerates any bx via the cyclic roll)."""
-        bx_, by_, bz_ = (int(v) for v in b)
-        while by_ > grid.ny and by_ > 2:
-            by_ //= 2
-        while bz_ > grid.nz and bz_ > 2:
-            bz_ //= 2
-        return (bx_, by_, bz_)
-
-    brick_lo = fit_brick(brick)
-    brick_hi = brick_lo if brick_hi is None else fit_brick(brick_hi)
-
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
     nch_s = 8 if bvec is not None else 4
     if bvec is not None:
@@ -758,7 +788,6 @@ def iter_trace_segments(
     else:
         state = jnp.asarray(state_h)
 
-    plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
     if stats is None:
         stats = {}
     stats.setdefault("escaped", 0)
@@ -773,10 +802,7 @@ def iter_trace_segments(
                               trace_crosssections)
     cap_hi6 = _brick_capacity(grid, brick_hi, dt, perturb_ratio,
                               trace_crosssections) if n_th else cap_lo6
-    bounds_lo = np.array(grid.origin, np.float32)
-    bounds_hi = bounds_lo + np.array(
-        [(grid.nx - 1) * grid.dx, (grid.ny - 1) * grid.dy,
-         (grid.nz - 1) * grid.dz], np.float32)
+    bounds_lo, bounds_hi = blo, bhi
 
     park_slots = None                   # set by the first binning
 
