@@ -1133,7 +1133,8 @@ def trace_rays_pallas(
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=256, seg_records=25, interpret=False, verbose=False,
-    rpt_hi=0, brick_hi=None, bvec=None,
+    rpt_hi=0, brick_hi=None, bvec=None, brick=(BX, BY, BZ),
+    tile_factor=4,
 ) -> PallasTraceResult:
     """Trace all rays with the fused Pallas kernel (cumulative-S semantics),
     assembling records on the host in original ray order. Records include
@@ -1147,7 +1148,8 @@ def trace_rays_pallas(
             omega_pe_cube, ne_cube, te_cube, b_cube, grid, freq_hz,
             start, kdir, dt, n_steps, record_stride, trace_crosssections,
             perturb_ratio, rpt, seg_records, interpret, verbose, stats,
-            rpt_hi=rpt_hi, brick_hi=brick_hi, bvec=bvec):
+            rpt_hi=rpt_hi, brick_hi=brick_hi, bvec=bvec, brick=brick,
+            tile_factor=tile_factor):
         rps = recs.shape[0]
         if rec_host is None:
             rec_host = np.zeros((stats["n_records"], n_rays, 8), np.float32)
