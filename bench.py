@@ -95,6 +95,13 @@ def main():
         print(msg, file=sys.stderr, flush=True)
 
     if args.pipeline:
+        # the streamed pipeline hardcodes cross-sections on and the default
+        # brick; refuse rather than silently bench something else
+        if args.no_crosssections or args.brick != "32,16,32" \
+                or args.brick_hi:
+            p.error("--pipeline does not honor --no-crosssections/"
+                    "--brick/--brick-hi (the production pipeline uses "
+                    "the default brick with cross-sections on)")
         # Full production pipeline on the canonical workload: one trace at
         # --freq plus the streamed GRFF transfer over --nfreq frequencies
         # (TbSpectra sweeps re-trace per frequency, so s/frequency here is

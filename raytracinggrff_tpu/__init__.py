@@ -9,6 +9,43 @@ Public API mirrors the reference package exports
 (raytracingGRFF/__init__.py:1-15) plus the framework-native entry points.
 """
 
+import os as _os
+import sys as _sys
+
+
+def _default_compile_cache():
+    """Default JAX's persistent compilation cache to an on-disk location.
+
+    The production TbSpectra sweep compiles a distinct kernel/driver stack
+    per (stride, plan, cube-shape) combination; without the on-disk cache
+    every run re-pays minutes of XLA/Mosaic compile. Runs BEFORE the
+    jax-importing submodule imports below so the env default is seen at
+    jax import; `setdefault` never overrides a user-set value, and if jax
+    was imported first the config route is used (again only when unset).
+    """
+    path = _os.path.join(_os.path.expanduser("~"), ".cache",
+                         "raytracinggrff_tpu", "jax_comp_cache")
+    try:
+        _os.makedirs(path, exist_ok=True)
+    except OSError:
+        return  # read-only home: run without the cache
+    fresh = "JAX_COMPILATION_CACHE_DIR" not in _os.environ
+    _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                           "1.0")
+    if fresh and "jax" in _sys.modules:
+        import jax
+        try:
+            if jax.config.jax_compilation_cache_dir is None:
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except AttributeError:
+            pass
+
+
+_default_compile_cache()
+
 from .constants import C_R, R_SUN_CM, R_SUN_M
 from .coords import cart_to_sph, sph_to_cart, image_xyz_to_mas_sph
 from .grids import UniformGrid, variable_z_grid, linear_z_grid

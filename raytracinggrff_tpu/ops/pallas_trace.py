@@ -619,6 +619,13 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     """
     n_tiles = state.shape[0]
     nx_pad = tcube.shape[2]
+    if by > grid.ny or bz > grid.nz:
+        # the y/z brick axes are DMA-sliced out of the cube, so a brick
+        # taller than the cube reads out of range (silently, on hardware);
+        # the driver pre-shrinks via fit_brick — direct callers must too
+        raise ValueError(
+            f"brick (by={by}, bz={bz}) exceeds cube "
+            f"(ny={grid.ny}, nz={grid.nz}); shrink the brick y/z")
     bzc = bz * NCH
     bzc_s = bz * sample_channels
     w_pad = max(nx_pad, by * bx)

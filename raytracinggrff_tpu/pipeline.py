@@ -375,8 +375,9 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
         return tc, prev
 
     # the reference's LOS-inspection pixel (resample_with_ray_tracing.py:554)
+    from .utils.plotting import inspection_pixel_index
     n_pix = cfg.n_pix
-    p_center = (int(n_pix * 0.7) // 2) * n_pix + ((n_pix - 1) // 2)
+    p_center = inspection_pixel_index(n_pix)
     center_segs = []        # lazy device (rps, 8) slices; read after loop
 
     stats = {}

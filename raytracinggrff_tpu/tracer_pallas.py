@@ -268,13 +268,13 @@ def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "grid", "rpt_hi", "rpt_lo", "n_tl", "rps", "stride",
+    "mesh", "grid", "rpt_lo", "n_tl", "rps", "stride",
     "first_block", "perturb_ratio", "trace_crosssections",
     "interpret", "brick_lo", "occ_r", "nch_s"))
 def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
                  inv, park_main, tailed, tail_state, tail_seg,
                  n_retried, seg_idx,
-                 mesh, grid, rpt_hi, rpt_lo, n_tl, rps, stride, first_block,
+                 mesh, grid, rpt_lo, n_tl, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, interpret,
                  brick_lo, occ_r=1, nch_s=4):
     """Device-resident escape handling: compact the escapees of BOTH
@@ -571,9 +571,27 @@ def two_class_bin_slots(key, alive, rpt_lo, n_tl, rpt_hi, n_th, cap_hi,
             pos += rpt_lo
             lo_left -= 1
         if pos < len(rest):
-            raise RuntimeError(
-                f"slot budget exhausted: {len(rest) - pos} rays unplaced "
-                f"(n_th={n_th}, n_tl={n_tl})")
+            # Every tile is taken but earlier capacity bins sit below full
+            # width: spill the remainder into their padding slots. Spilled
+            # rays land in the wrong brick and escape on their first step,
+            # which the device retry / XLA tails absorb — placement
+            # degrading into escapes is strictly better than aborting a
+            # multi-minute trace (this used to raise).
+            rest_left = rest[pos:]
+            for bins, width in ((lo_bins, rpt_lo), (hi_bins, rpt_hi)):
+                for i, rows in enumerate(bins):
+                    if not len(rest_left):
+                        break
+                    room = width - len(rows)
+                    if room > 0:
+                        bins[i] = np.concatenate([rows, rest_left[:room]])
+                        rest_left = rest_left[room:]
+            if len(rest_left):
+                # unreachable: total tile width n_th*rpt_hi + n_tl*rpt_lo
+                # == n_tot >= n_rays >= alive rays
+                raise RuntimeError(
+                    f"slot budget exhausted: {len(rest_left)} rays "
+                    f"unplaced (n_th={n_th}, n_tl={n_tl})")
 
     perm = np.empty(n_tot, np.int64)
     park = np.ones(n_tot, bool)
@@ -695,6 +713,51 @@ def iter_trace_segments(
     # binner cannot isolate chaotic post-reflection rays (a 16^2 image at
     # 4 tiles measured 71% tail-out; at 32 tiles effectively none)
     n_lo = max(n_lo, 32 * rpt)
+    nch_s = 8 if bvec is not None else 4
+    nx_pad = -(-grid.nx // 128) * 128
+
+    def kernel_vmem(b, rpt_k, rps_k):
+        """Scoped-VMEM estimate (bytes) of one trace-kernel instance:
+        the two staging bricks + fused windows + state/record blocks
+        (ops/pallas_trace.run_trace_segment scratch_shapes) plus a
+        lane-width-proportional stack/spill term calibrated on two
+        measured compile-time OOMs (16.21 MiB at rpt=128/nch_s=8 with
+        12.9 MiB of scratch -> 3.5 MiB overhead; 17.69 MiB at
+        rpt=512/nch_s=4 with 9.2 MiB -> 8.9 MiB)."""
+        bx_, by_, bz_ = b
+        w_pad = max(nx_pad, by_ * bx_)
+        stage = by_ * bz_ * (4 + nch_s) * w_pad * 4
+        wins = bz_ * (4 + nch_s) * by_ * bx_ * 4
+        blocks = (2 * 8 * rpt_k + rps_k * 8 * rpt_k + rpt_k) * 4
+        spill = 28000 * rpt_k
+        return stage + wins + blocks + spill
+
+    def fit_brick(b, rpt_k):
+        """Shrink brick y/z to the cube (those axes are DMA-sliced, so a
+        brick taller than the cube would slice out of range; x rides the
+        full padded lane axis and tolerates any bx via the cyclic roll),
+        then halve bz until the kernel's scoped VMEM fits: the 8-channel
+        theta_mode='los' sample brick doubles the staging cost, and the
+        default (32, 16, 32) brick overflows the 16M Mosaic limit by
+        ~0.2M at nch_s=8 (measured: compile-time OOM on hardware)."""
+        bx_, by_, bz_ = (int(v) for v in b)
+        while by_ > grid.ny and by_ > 2:
+            by_ //= 2
+        while bz_ > grid.nz and bz_ > 2:
+            bz_ //= 2
+        budget = 16 << 20    # the Mosaic scoped-VMEM limit
+        while kernel_vmem((bx_, by_, bz_), rpt_k, seg_records) > budget \
+                and bz_ > 8:
+            bz_ //= 2
+        while kernel_vmem((bx_, by_, bz_), rpt_k, seg_records) > budget \
+                and by_ > 8:
+            by_ //= 2
+        return (bx_, by_, bz_)
+
+    brick_lo = fit_brick(brick, rpt)
+    brick_hi = brick_lo if brick_hi is None \
+        else fit_brick(brick_hi, rpt_hi or rpt)
+    plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
     # Adaptive floor from a LAUNCH-state probe: sparse-ray workloads (small
     # n_pix over a wide FOV — e.g. the TbSpectra low band at reduced N_pix)
     # need more capacity leaves than rays/rpt would suggest, because each
@@ -704,20 +767,6 @@ def iter_trace_segments(
     # stuffed ray escaped on its first step). One unbounded kd split of the
     # launch positions counts the leaves actually needed; 2x that covers
     # mid-trace dispersal, and the device retry/tails absorb the rest.
-    def fit_brick(b):
-        """Shrink brick y/z to the cube: those axes are DMA-sliced, so a
-        brick taller than the cube would slice out of range (x rides the
-        full padded lane axis and tolerates any bx via the cyclic roll)."""
-        bx_, by_, bz_ = (int(v) for v in b)
-        while by_ > grid.ny and by_ > 2:
-            by_ //= 2
-        while bz_ > grid.nz and bz_ > 2:
-            bz_ //= 2
-        return (bx_, by_, bz_)
-
-    brick_lo = fit_brick(brick)
-    brick_hi = brick_lo if brick_hi is None else fit_brick(brick_hi)
-    plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
     path0 = (bin_horizon * (plan[0][0] + (plan[0][1] - 1) * record_stride)
              * dt * C_R)
     pos0 = np.asarray(start, np.float32)
@@ -764,7 +813,6 @@ def iter_trace_segments(
     occ_r = max(1, min(rpt, -(-min(n_lo // 4, 256) // n_tl)))
 
     omega_pe_cube = jnp.asarray(omega_pe_cube, jnp.float32)
-    nch_s = 8 if bvec is not None else 4
     if bvec is not None:
         bvec = tuple(jnp.asarray(c, jnp.float32) for c in bvec)
     tcube, scube, k0 = _prepare_trace_inputs(
@@ -941,7 +989,7 @@ def iter_trace_segments(
          _) = _retry_graph(
             tcube, scube, seg_start, state_main, esc_dev, raw_hi, raw_lo,
             inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
-            n_retried, seg_i, mesh, grid, rpt_hi, rpt, n_tl, rps,
+            n_retried, seg_i, mesh, grid, rpt, n_tl, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret, brick_lo, occ_r=occ_r,
             nch_s=nch_s)
@@ -1106,18 +1154,11 @@ def _trace_tail_chunk(trace_table, model_table, grid, st, rem, fills, dt,
     s_rec = jnp.where(live, s_rec, 0.0)
     if v.shape[-1] >= 6:
         # signed cos(theta) between the sampled B vector (fields 3:6) and
-        # the local propagation direction (finite-diff of record positions;
-        # frozen rays give zero diffs -> cos=0 -> theta=90 fallback)
-        if r_rec.shape[0] > 1:
-            d = r_rec[1:] - r_rec[:-1]
-            dirs = jnp.concatenate([d, d[-1:]], axis=0)      # (H, m, 3)
-        else:
-            dirs = k[None, :, :]
-        bv = v[..., 3:6]
-        num = jnp.sum(bv * dirs, axis=-1)
-        den = (jnp.linalg.norm(bv, axis=-1)
-               * jnp.linalg.norm(dirs, axis=-1))
-        cos_t = jnp.clip(num / jnp.maximum(den, 1e-30), -1.0, 1.0)
+        # the finite-diff propagation direction — the ONE implementation
+        # shared with the XLA sampling path, so both paths agree on the
+        # single-record theta=90 fallback (ref Parms[4] contract)
+        from .sampler import _cos_theta_from_records
+        cos_t = _cos_theta_from_records(r_rec, v[..., 3:6])
     else:
         cos_t = jnp.zeros_like(s_rec)
     return jnp.concatenate([

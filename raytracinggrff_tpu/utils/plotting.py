@@ -14,6 +14,14 @@ import numpy as np
 from ..constants import R_SUN_CM, R_SUN_M
 
 
+def inspection_pixel_index(n_pix):
+    """Flat index of the reference's center-pixel LOS inspection ray
+    (p = (0.7*N//2)*N + (N-1)//2, resample_with_ray_tracing.py:554) —
+    the ONE definition shared by the plot and the streamed pipeline's
+    per-segment device gather."""
+    return (int(n_pix * 0.7) // 2) * n_pix + ((n_pix - 1) // 2)
+
+
 def _plt():
     import matplotlib
     matplotlib.use("Agg")
@@ -58,11 +66,11 @@ def save_emission_plot(result, n_pix, x_fov, out_path, consider_beam=False,
 
 def save_center_pixel_plot(sampled, n_pix, out_path, p_index=None):
     """Ne/Te/|B|/S along the ray of the reference's inspection pixel
-    (p = (0.7*N//2)*N + (N-1)//2, resample_with_ray_tracing.py:554).
+    (inspection_pixel_index; resample_with_ray_tracing.py:554).
     p_index overrides the column (used when rays are in binned order)."""
     plt = _plt()
     p_center = (p_index if p_index is not None
-                else (int(n_pix * 0.7) // 2) * n_pix + ((n_pix - 1) // 2))
+                else inspection_pixel_index(n_pix))
     valid = np.asarray(sampled.valid_mask)[:, p_center]
     if not np.any(valid):
         return None
