@@ -99,3 +99,52 @@ def test_compiled_streamed_emission_map():
     np.testing.assert_allclose(
         r_pal["emission_polVI_cube"][lit], r_xla["emission_polVI_cube"][lit],
         atol=1e-4)
+
+
+def test_compiled_theta_los_map():
+    """theta_mode='los' COMPILED on hardware: the 8-channel sample brick
+    doubles the kernel's staging VMEM, which used to OOM Mosaic's 16M
+    scoped limit at the default brick (the driver now auto-shrinks bz via
+    kernel_vmem). A dipole-ish B field must yield a signed V/I map with
+    both polarities, and Tb must match the theta=90 run closely (the
+    quiet-Sun free-free V signal is a percent-level perturbation)."""
+    from raytracinggrff_tpu.pipeline import (RayEmissionConfig,
+                                             run_ray_tracing_emission)
+    grid = UniformGrid.cube(2.5, 40)
+    xs, ys, zs = grid.axes()
+    x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    ne = np.where(r >= 1.0, 4.2e4 * 10 ** (4.32 / np.maximum(r, 0.9)),
+                  0.0).astype(np.float32)
+    # dipole along the IMAGE y axis: the LOS component Bz = 6yz/r^5 flips
+    # sign across y=0, so the emergent V/I map must carry both polarities
+    rs = np.maximum(r, 0.9)
+    bx_c = (2.0 * 3 * x * y / rs ** 5).astype(np.float32)
+    by_c = (2.0 * (2 * y * y - x * x - z * z) / rs ** 5).astype(np.float32)
+    bz_c = (2.0 * 3 * z * y / rs ** 5).astype(np.float32)
+    bmag = np.sqrt(bx_c ** 2 + by_c ** 2 + bz_c ** 2).astype(np.float32)
+    cubes = {
+        "omega_pe": jnp.asarray(8.93e3 * np.sqrt(ne) * 2 * np.pi),
+        "ne": jnp.asarray(ne),
+        "te": jnp.asarray(np.full_like(ne, 1.4e6)),
+        "b": jnp.asarray(bmag),
+        "bvec": (jnp.asarray(bx_c), jnp.asarray(by_c), jnp.asarray(bz_c)),
+    }
+    common = dict(n_pix=16, x_fov=1.3, freq_hz=150e6, grid_n=40,
+                  grid_extent=2.5, z_observer=2.5, dt=1e-2, n_steps=310,
+                  record_stride=10, s_input_on=True,
+                  tracer_backend="pallas", seg_records=16,
+                  pallas_interpret=False)
+    r_los = run_ray_tracing_emission(
+        cubes=cubes, verbose=True,
+        config=RayEmissionConfig(theta_mode="los", **common))
+    r_fix = run_ray_tracing_emission(
+        cubes=cubes, verbose=False,
+        config=RayEmissionConfig(theta_mode="fixed", **common))
+    vi = r_los["emission_polVI_cube"]
+    tb_los, tb_fix = r_los["emission_cube"], r_fix["emission_cube"]
+    lit = (tb_los > 1e4) & (tb_fix > 1e4)
+    assert lit.sum() > 80
+    assert np.isfinite(vi).all()
+    assert (vi[lit] > 1e-5).any() and (vi[lit] < -1e-5).any()
+    np.testing.assert_allclose(tb_los[lit], tb_fix[lit], rtol=0.05)
