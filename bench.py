@@ -60,15 +60,11 @@ def main():
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--rpt", type=int, default=128,
                    help="pallas rays per tile")
-    p.add_argument("--rpt-hi", type=int, default=0,
-                   help="wide-tile lane width (0 disables two-class)")
     p.add_argument("--seg-records", type=int, default=16)
     p.add_argument("--tile-factor", type=int, default=4,
-                   help="lo-tile over-allocation for capacity binning")
+                   help="tile over-allocation for capacity binning")
     p.add_argument("--brick", default="32,16,32",
                    help="pallas brick nodes bx,by,bz")
-    p.add_argument("--brick-hi", default=None,
-                   help="pallas hi brick nodes (default: --brick)")
     p.add_argument("--pipeline", action="store_true",
                    help="bench the FULL emission pipeline (trace + "
                         "streamed GRFF transfer) and report s/frequency "
@@ -77,8 +73,6 @@ def main():
                    help="--pipeline: transfer frequencies per trace")
     args = p.parse_args()
     brick = tuple(int(v) for v in args.brick.split(","))
-    brick_hi = (tuple(int(v) for v in args.brick_hi.split(","))
-                if args.brick_hi else None)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -97,11 +91,10 @@ def main():
     if args.pipeline:
         # the streamed pipeline hardcodes cross-sections on and the default
         # brick; refuse rather than silently bench something else
-        if args.no_crosssections or args.brick != "32,16,32" \
-                or args.brick_hi:
-            p.error("--pipeline does not honor --no-crosssections/"
-                    "--brick/--brick-hi (the production pipeline uses "
-                    "the default brick with cross-sections on)")
+        if args.no_crosssections or args.brick != "32,16,32":
+            p.error("--pipeline does not honor --no-crosssections/--brick "
+                    "(the production pipeline uses the default brick with "
+                    "cross-sections on)")
         # Full production pipeline on the canonical workload: one trace at
         # --freq plus the streamed GRFF transfer over --nfreq frequencies
         # (TbSpectra sweeps re-trace per frequency, so s/frequency here is
@@ -118,8 +111,7 @@ def main():
             record_stride=args.record_stride, nfreq=args.nfreq,
             freq0=args.freq, freq_log_step=0.05, s_input_on=True,
             tracer_backend=args.tracer, rays_per_tile=args.rpt,
-            rays_per_tile_hi=args.rpt_hi, seg_records=args.seg_records,
-            tile_factor=args.tile_factor)
+            seg_records=args.seg_records, tile_factor=args.tile_factor)
 
         def run_pipe():
             res = run_ray_tracing_emission(config=cfg, cubes=cubes,
@@ -168,8 +160,7 @@ def main():
                     trace_crosssections=not args.no_crosssections,
                     perturb_ratio=2.0, rpt=args.rpt,
                     seg_records=args.seg_records, stats=stats,
-                    brick=brick, tile_factor=args.tile_factor,
-                    rpt_hi=args.rpt_hi, brick_hi=brick_hi):
+                    brick=brick, tile_factor=args.tile_factor):
                 s = recs[-1, 0, 0]
                 acc = s if acc is None else acc + s
             float(acc)
@@ -185,15 +176,13 @@ def main():
             ph = stats.get("phase_s", {})
             note("  phases " + " ".join(f"{k}={v:.2f}s"
                                         for k, v in ph.items()))
-            for reg in ("hi_occ", "lo_occ"):
-                occ = stats.get(reg)
-                if occ:
-                    note(f"  {reg} x{len(occ)}: "
-                         + " ".join(f"{v:.2f}" for v in occ))
-            for reg in ("hi_tiles", "lo_tiles"):
-                nt = stats.get(reg)
-                if nt:
-                    note(f"  {reg}: " + " ".join(str(v) for v in nt))
+            occ = stats.get("occ")
+            if occ:
+                note(f"  occ x{len(occ)}: "
+                     + " ".join(f"{v:.2f}" for v in occ))
+            nt = stats.get("tiles")
+            if nt:
+                note("  tiles: " + " ".join(str(v) for v in nt))
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)

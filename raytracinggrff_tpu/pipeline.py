@@ -174,9 +174,6 @@ class RayEmissionConfig:
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
     rays_per_tile: int = 128       # pallas tile size (lane width)
-    rays_per_tile_hi: int = 0      # wide-tile lane width (0: single-class;
-    # per-tile kernel cost is linear in lanes, so a wide class only pays
-    # off if a future kernel regains a fixed per-tile cost)
     seg_records: int = 25          # pallas records per kernel segment
     tile_factor: int = 4           # lo-tile over-allocation for binning
     pallas_interpret: bool = False  # interpreter-mode kernels (tests)
@@ -390,8 +387,7 @@ def _streamed_trace_transfer(cubes, grid, cfg, start, kdir, frequencies_hz,
             perturb_ratio=cfg.perturb_ratio, rpt=cfg.rays_per_tile,
             seg_records=cfg.seg_records, interpret=cfg.pallas_interpret,
             verbose=verbose, stats=stats, mesh=mesh,
-            tile_factor=cfg.tile_factor, rpt_hi=cfg.rays_per_tile_hi,
-            bvec=bvec):
+            tile_factor=cfg.tile_factor, bvec=bvec):
         if carry is None:
             n_tot = recs.shape[2]
             carry = transfer_carry_init(n_tot, int(nf))

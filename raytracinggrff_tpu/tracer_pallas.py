@@ -1,4 +1,4 @@
-"""Driver for the Pallas brick tracer: two-class binning, segments, tails.
+"""Driver for the Pallas brick tracer: capacity binning, segments, tails.
 
 Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
 
@@ -19,9 +19,10 @@ Orchestrates ops/pallas_trace.run_trace_segment over the full step count:
      capacity-bound leaf fills most of a tile (the fused-(y,x) matmul in
      ops/pallas_trace makes 32x16x16 bricks cost the same per lane as
      16x8x16) and (b) a lane width `rpt` matched to the chaotic-phase
-     leaf size. A two-class [hi | lo] layout (rpt_hi > 0) exists for
-     workloads whose kernels regain a fixed per-tile cost, but is off by
-     default.
+     leaf size. (A two-class [hi | lo] tile layout was built and measured
+     in round 3: with per-tile cost linear in lanes it bought nothing on
+     any workload, so it was removed — see the round-3 history for the
+     measurement.)
   3. Each segment advances `first_block + (rps-1)*stride` RK4 steps and
      yields `rps` records per ray (positions, cumulative S, Ne/Te/|B|),
      reproducing the reference's record schedule (a record after step i
@@ -145,16 +146,14 @@ def _unpack_binning(packed, inv_prev):
     return gperm, inv, park, local
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "n_th", "rpt_hi", "n_tl", "rpt_lo", "n_rays"))
+@functools.partial(jax.jit, static_argnames=("n_tl", "rpt_lo", "n_rays"))
 def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
-                    path_len, caps2, bounds2,
-                    n_th, rpt_hi, n_tl, rpt_lo, n_rays):
+                    path_len, cap6, bounds2, n_tl, rpt_lo, n_rays):
     """Permute rows to the new binning and shape the (n_tot, 8) state into
-    the two regions' (n_tiles, 8, width) tile layouts, pre-freezing parked
-    rays (park mask completed ON DEVICE: host park | current tailed,
-    gathered to slot order, because the host's tailed mirror is stale by
-    design in the async loop).
+    the (n_tiles, 8, width) tile layout, pre-freezing parked rays (park
+    mask completed ON DEVICE: host park | current tailed, gathered to slot
+    order, because the host's tailed mirror is stale by design in the
+    async loop).
 
     Also emits a float16 (n_rays, 6) pos+k̂ snapshot in ORIGINAL ray order
     (gathered through `inv`, the orig->slot map): the next segment's
@@ -165,9 +164,9 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
 
     The bins-fit check also runs HERE, on device: each tile's active rays'
     6-col key span (position + predicted endpoint at `path_len`) is
-    scatter-reduced and compared against 1.1x that tile's class capacity
-    (`caps2` = [cap_hi6, cap_lo6]; see the driver's rebind policy comment
-    for the 1.1x rationale). The host then reads ONE bool per segment and
+    scatter-reduced and compared against 1.1x the brick capacity `cap6`
+    (see the driver's rebind policy comment for the 1.1x rationale). The
+    host then reads ONE bool per segment and
     fetches the f16 snapshot only on the segments that actually rebind —
     the per-segment snapshot fetch was ~70% of steady-state wall time
     through the tunnel once the kernels got fast."""
@@ -179,13 +178,7 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
     # to 0 on its first frozen step (degenerate perturbation cross-section),
     # and parking skips that step
     parked = parked.at[:, 6].set(jnp.where(pf > 0.5, 0.0, state[:, 6]))
-    n_hi = n_th * rpt_hi
-
-    def tiles(rows, n_t, w):
-        return rows.T.reshape(8, n_t, w).transpose(1, 0, 2)
-
-    khi = tiles(parked[:n_hi], n_th, rpt_hi) if n_th else None
-    klo = tiles(parked[n_hi:], n_tl, rpt_lo)
+    klo = parked.T.reshape(8, n_tl, rpt_lo).transpose(1, 0, 2)
     rows = state[inv[:n_rays]]
     k = rows[:, 3:6]
     kn = jnp.sqrt(jnp.sum(k * k, axis=1, keepdims=True))
@@ -198,27 +191,20 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
         & ~tailed[:n_rays]
     act = alive & ~park[slot]
     key6 = jnp.concatenate([pos, pos + khat * path_len], axis=1)
-    if n_th:
-        tile = jnp.where(slot < n_hi, slot // rpt_hi,
-                         n_th + (slot - n_hi) // rpt_lo)
-    else:
-        tile = slot // rpt_lo
-    n_tiles = n_th + n_tl
-    kmin = jnp.full((n_tiles, 6), jnp.inf, jnp.float32).at[tile].min(
+    tile = slot // rpt_lo
+    kmin = jnp.full((n_tl, 6), jnp.inf, jnp.float32).at[tile].min(
         jnp.where(act[:, None], key6, jnp.inf))
-    kmax = jnp.full((n_tiles, 6), -jnp.inf, jnp.float32).at[tile].max(
+    kmax = jnp.full((n_tl, 6), -jnp.inf, jnp.float32).at[tile].max(
         jnp.where(act[:, None], key6, -jnp.inf))
     # empty tiles give kmax-kmin = -inf <= cap (fits); NaN keys compare
     # False (forces a rebind) — both the safe direction
-    capt = jnp.where((jnp.arange(n_tiles) < n_th)[:, None],
-                     caps2[0], caps2[1])
-    fit = jnp.all(kmax - kmin <= 1.1 * capt)
+    fit = jnp.all(kmax - kmin <= 1.1 * cap6[None, :])
     # `act` rides back with key16 on rebind segments so the host bins with
     # the DEVICE's liveness (incl. fresh tails) — the host's own tailed
     # mirror is stale by design, and binning device-tailed rays as alive
     # polluted rebuilt leaves with frozen positions (measured: such leaves
     # caused immediate brick escapes, 280 retries/56 tails per 256^2 run)
-    return state, khi, klo, key16.astype(jnp.float16), park, fit, act
+    return state, klo, key16.astype(jnp.float16), park, fit, act
 
 
 def _untile(kstate):
@@ -235,53 +221,41 @@ def _untile_recs(rec_tiles):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "grid", "rpt_hi", "rpt_lo", "rps", "stride", "first_block",
+    "mesh", "grid", "rpt_lo", "rps", "stride", "first_block",
     "perturb_ratio", "trace_crosssections", "interpret",
-    "brick_hi", "brick_lo", "nch_s"))
-def _trace_graph(tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt_lo, rps,
+    "brick_lo", "nch_s"))
+def _trace_graph(tcube, scube, klo, mesh, grid, rpt_lo, rps,
                  stride, first_block, dt, perturb_ratio,
-                 trace_crosssections, interpret, brick_hi, brick_lo,
-                 nch_s=4):
-    """Both region kernels + unpack for the async loop: returns the merged
-    (n_tot, 8) end state in slot order, escape flags, and the raw record
-    tiles of each region (the retry graph does the single merged record
-    assembly). Collapsing dispatches matters through the axon tunnel,
-    where every dispatch costs ~0.1 s of round-trip latency."""
-    outs = []
-    for kstate, rpt, brick in ((khi, rpt_hi, brick_hi),
-                               (klo, rpt_lo, brick_lo)):
-        if kstate is None:
-            outs.append(None)
-            continue
-        outs.append(_kernel_call(
-            tcube, scube, kstate, mesh, grid, rpt, rps, stride,
-            first_block, dt, perturb_ratio, trace_crosssections,
-            interpret, *brick, nch_s=nch_s))
-    res_hi, res_lo = outs
-    states = [r.state for r in outs if r is not None]
-    esc = jnp.concatenate(
-        [s[:, 7, :].reshape(-1) for s in states]) > 0.5
-    state = jnp.concatenate([_untile(s) for s in states], axis=0)
-    state = state.at[:, 7].set(0.0)
-    return (state, esc,
-            None if res_hi is None else res_hi.records, res_lo.records)
+                 trace_crosssections, interpret, brick_lo, nch_s=4):
+    """Segment kernel + unpack for the async loop: returns the (n_tot, 8)
+    end state in slot order, escape flags, and the raw record tiles (the
+    retry graph does the record assembly). Collapsing dispatches matters
+    through the axon tunnel, where every dispatch costs ~0.1 s of
+    round-trip latency."""
+    res_lo = _kernel_call(
+        tcube, scube, klo, mesh, grid, rpt_lo, rps, stride,
+        first_block, dt, perturb_ratio, trace_crosssections,
+        interpret, *brick_lo, nch_s=nch_s)
+    esc = res_lo.state[:, 7, :].reshape(-1) > 0.5
+    state = _untile(res_lo.state).at[:, 7].set(0.0)
+    return state, esc, res_lo.records
 
 
 @functools.partial(jax.jit, static_argnames=(
     "mesh", "grid", "rpt_lo", "n_tl", "rps", "stride",
     "first_block", "perturb_ratio", "trace_crosssections",
     "interpret", "brick_lo", "occ_r", "nch_s"))
-def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
+def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_lo,
                  inv, park_main, tailed, tail_state, tail_seg,
                  n_retried, seg_idx,
                  mesh, grid, rpt_lo, n_tl, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, interpret,
                  brick_lo, occ_r=1, nch_s=4):
-    """Device-resident escape handling: compact the escapees of BOTH
-    regions, re-run their segment in lo-region tiles at occupancy occ_r,
-    merge records/end-states, and update the tail carries — all without a
-    host round-trip, so the driver loop can dispatch segment after segment
-    without ever blocking on escape counts.
+    """Device-resident escape handling: compact the escapees, re-run their
+    segment in fresh tiles at occupancy occ_r, merge records/end-states,
+    and update the tail carries — all without a host round-trip, so the
+    driver loop can dispatch segment after segment without ever blocking
+    on escape counts.
 
     occ_r=1 makes the retry all but escape-proof: a single-ray tile's
     bbox is a point, so the brick recenters on it at every reload and
@@ -301,20 +275,17 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_hi, raw_lo,
     (original-ray-indexed) tail_state / tail_seg carries via dense masked
     updates, read back once after the whole trace.
 
-    All index spaces: `esc`, `park_main` are in SLOT order over the full
-    [hi | lo] slot space; `inv` maps original ray -> slot; `tailed` and the
-    tail carries are in ORIGINAL ray order. Returns (state_slot_order,
-    recs_orig_order, tailed, tail_state, tail_seg, n_retried, esc_any)."""
+    All index spaces: `esc`, `park_main` are in SLOT order; `inv` maps
+    original ray -> slot; `tailed` and the tail carries are in ORIGINAL
+    ray order. Returns (state_slot_order, recs_orig_order, tailed,
+    tail_state, tail_seg, n_retried, esc_any)."""
     n_tot = seg_start.shape[0]
     n_lo = n_tl * rpt_lo
     iota = jnp.arange(n_tot, dtype=jnp.int32)
 
     retry = esc & ~park_main                     # slot space
     has_esc = jnp.any(retry)
-    parts = ([] if raw_hi is None else [_untile_recs(raw_hi)]) \
-        + [_untile_recs(raw_lo)]
-    recs_m = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
-    recs_m = jnp.take(recs_m, inv, axis=2)
+    recs_m = jnp.take(_untile_recs(raw_lo), inv, axis=2)
 
     def _zero_tail_s(recs, tail_mask_o):
         s_rec = jnp.where(tail_mask_o[None, :], 0.0, recs[:, 3, :])
@@ -471,105 +442,64 @@ def _split_leaves_levels(keyn, order, counts, max_leaf, budget):
     return order, counts
 
 
-def two_class_bin_slots(key, alive, rpt_lo, n_tl, rpt_hi, n_th, cap_hi,
-                        cap_lo=None):
-    """Two-class capacity-aware partition over the [hi | lo] slot space.
+def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
+    """Variable-occupancy capacity-aware partition over the tile slots.
 
-    Two split stages, each against ITS class's brick capacity: stage 1
-    splits all alive rays against `cap_hi` into leaves of up to rpt_hi rays
-    and assigns the ones wider than a lo tile to hi tiles (one wide launch
-    at high occupancy beats several narrow ones — per-tile kernel cost is
-    latency-dominated); stage 2 re-splits everything left against `cap_lo`
-    down to rpt_lo-sized leaves for the lo tiles. Splitting lo-destined
-    leaves with the (possibly much larger) hi capacity put bins wider than
-    the lo brick into lo tiles, and every ray in such a bin escaped on its
-    first step: one measured 256^2 run with brick_hi=(16,16,16) over
-    brick_lo=(16,8,16) produced 40k retries / 9k tails and a 4x slowdown.
-
-    When a class runs out the other absorbs the leaf (chunking big leaves
-    along their widest axis into lo tiles); as a last resort remaining rays
-    are stuffed capacity-blind into whatever slots are free — those bins
-    may escape, and the retry/tails absorb them, so placement never fails.
+    Splits the alive rays against the brick `capacity` (level-synchronous
+    kd median splits, _split_leaves_levels) into leaves of at most `rpt`
+    rays, then gives each leaf its own tile. Leaves still larger than rpt
+    when the split budget runs out are chunked along their widest axis
+    into rpt-sized sub-bins (spatially tight); as a last resort remaining
+    rays are stuffed capacity-blind into whatever slots are free — those
+    bins may escape, and the device retry / XLA tails absorb them, so
+    placement never fails.
 
     Returns (perm, park): perm is a permutation of row indices arranging
-    rays bin-major (hi tile t's leaf occupies slots [t*rpt_hi, ...); lo
-    tile t's at n_th*rpt_hi + t*rpt_lo), non-alive rows fill the remaining
-    slots; park marks those filler slots (the kernel freezes them via the
-    esc row and skips all-parked tiles)."""
+    rays bin-major (tile t's leaf occupies slots [t*rpt, ...)); non-alive
+    rows fill the remaining slots; park marks those filler slots (the
+    kernel freezes them via the esc row and skips all-parked tiles)."""
     n_tot = len(alive)
     idx = np.flatnonzero(alive).astype(np.int64)
     key = np.asarray(key, np.float32)
-    cap_hi = np.asarray(cap_hi, np.float32)
-    cap_lo = cap_hi if cap_lo is None else np.asarray(cap_lo, np.float32)
-    # a leaf sized for the lo brick also fits a hi brick only if the hi
-    # capacity dominates per axis (true for the default brick_hi=brick_lo)
-    lo_fits_hi = bool(np.all(cap_lo <= cap_hi + 1e-12))
+    capacity = np.asarray(capacity, np.float32)
 
-    hi_bins, lo_bins, overflow = [], [], []
-    hi_left, lo_left = n_th, n_tl
-
-    rest_rows = idx
-    rest_counts = np.array([len(idx)], np.int64) if len(idx) else \
-        np.empty(0, np.int64)
-    if n_th and len(idx):
+    bins, overflow = [], []
+    left = n_tiles
+    if len(idx):
         order, counts = _split_leaves_levels(
-            key / cap_hi, idx, rest_counts, rpt_hi, n_th + n_tl)
-        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
-        rest, rest_c = [], []
-        for li in np.argsort(counts)[::-1]:       # fullest leaves first
-            rows = order[starts[li]:starts[li] + counts[li]]
-            if counts[li] > rpt_lo and hi_left:
-                hi_bins.append(rows)
-                hi_left -= 1
-            else:
-                rest.append(rows)
-                rest_c.append(counts[li])
-        rest_rows = (np.concatenate(rest) if rest
-                     else np.empty(0, np.int64))
-        rest_counts = np.array(rest_c, np.int64)
-
-    if len(rest_rows):
-        order, counts = _split_leaves_levels(
-            key / cap_lo, rest_rows, rest_counts, rpt_lo,
-            lo_left + (hi_left if lo_fits_hi else 0))
+            key / capacity, idx, np.array([len(idx)], np.int64), rpt,
+            n_tiles)
         starts = np.concatenate(([0], np.cumsum(counts[:-1])))
         leaves = [order[s:s + c] for s, c in zip(starts, counts)]
         leaves.sort(key=len, reverse=True)
         for rows in leaves:
             n = len(rows)
-            if n <= rpt_lo and lo_left:
-                lo_bins.append(rows)
-                lo_left -= 1
-            elif n <= rpt_hi and hi_left and lo_fits_hi:
-                hi_bins.append(rows)
-                hi_left -= 1
-            elif lo_left:
+            if n <= rpt and left:
+                bins.append(rows)
+                left -= 1
+            elif left:
                 # big leaf (split budget ran out): chunk along the widest
                 # axis so the sub-bins stay spatially tight
                 p = key[rows]
                 ax = int(np.argmax((p.max(axis=0) - p.min(axis=0))
-                                   / cap_lo))
+                                   / capacity))
                 rows = rows[np.argsort(p[:, ax], kind="stable")]
-                need = -(-n // rpt_lo)
-                take = min(need, lo_left)
+                need = -(-n // rpt)
+                take = min(need, left)
                 for c in range(take):
-                    lo_bins.append(rows[c * rpt_lo:(c + 1) * rpt_lo])
-                lo_left -= take
+                    bins.append(rows[c * rpt:(c + 1) * rpt])
+                left -= take
                 if take < need:
-                    overflow.append(rows[take * rpt_lo:])
+                    overflow.append(rows[take * rpt:])
             else:
                 overflow.append(rows)
     if overflow:
         rest = np.concatenate(overflow)
         pos = 0
-        while pos < len(rest) and hi_left:
-            hi_bins.append(rest[pos:pos + rpt_hi])
-            pos += rpt_hi
-            hi_left -= 1
-        while pos < len(rest) and lo_left:
-            lo_bins.append(rest[pos:pos + rpt_lo])
-            pos += rpt_lo
-            lo_left -= 1
+        while pos < len(rest) and left:
+            bins.append(rest[pos:pos + rpt])
+            pos += rpt
+            left -= 1
         if pos < len(rest):
             # Every tile is taken but earlier capacity bins sit below full
             # width: spill the remainder into their padding slots. Spilled
@@ -578,53 +508,36 @@ def two_class_bin_slots(key, alive, rpt_lo, n_tl, rpt_hi, n_th, cap_hi,
             # degrading into escapes is strictly better than aborting a
             # multi-minute trace (this used to raise).
             rest_left = rest[pos:]
-            for bins, width in ((lo_bins, rpt_lo), (hi_bins, rpt_hi)):
-                for i, rows in enumerate(bins):
-                    if not len(rest_left):
-                        break
-                    room = width - len(rows)
-                    if room > 0:
-                        bins[i] = np.concatenate([rows, rest_left[:room]])
-                        rest_left = rest_left[room:]
+            for i, rows in enumerate(bins):
+                if not len(rest_left):
+                    break
+                room = rpt - len(rows)
+                if room > 0:
+                    bins[i] = np.concatenate([rows, rest_left[:room]])
+                    rest_left = rest_left[room:]
             if len(rest_left):
-                # unreachable: total tile width n_th*rpt_hi + n_tl*rpt_lo
-                # == n_tot >= n_rays >= alive rays
+                # unreachable: total tile width n_tiles*rpt == n_tot
+                # >= n_rays >= alive rays
                 raise RuntimeError(
                     f"slot budget exhausted: {len(rest_left)} rays "
-                    f"unplaced (n_th={n_th}, n_tl={n_tl})")
+                    f"unplaced (n_tiles={n_tiles})")
 
     perm = np.empty(n_tot, np.int64)
     park = np.ones(n_tot, bool)
     pool = np.flatnonzero(~alive)
     pool_pos = 0
-
-    def place(bins, region_base, width, n_tiles):
-        nonlocal pool_pos
-        t = 0
-        for rows in bins:
-            base = region_base + t * width
-            perm[base:base + len(rows)] = rows
-            park[base:base + len(rows)] = False
-            n_pad = width - len(rows)
-            perm[base + len(rows):base + width] = \
-                pool[pool_pos:pool_pos + n_pad]
-            pool_pos += n_pad
-            t += 1
-        n_rest = (n_tiles - t) * width
-        perm[region_base + t * width:region_base + n_tiles * width] = \
-            pool[pool_pos:pool_pos + n_rest]
-        pool_pos += n_rest
-
-    place(hi_bins, 0, rpt_hi, n_th)
-    place(lo_bins, n_th * rpt_hi, rpt_lo, n_tl)
+    t = 0
+    for rows in bins:
+        base = t * rpt
+        perm[base:base + len(rows)] = rows
+        park[base:base + len(rows)] = False
+        n_pad = rpt - len(rows)
+        perm[base + len(rows):base + rpt] = pool[pool_pos:pool_pos + n_pad]
+        pool_pos += n_pad
+        t += 1
+    n_rest = (n_tiles - t) * rpt
+    perm[t * rpt:n_tiles * rpt] = pool[pool_pos:pool_pos + n_rest]
     return perm, park
-
-
-def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
-    """Single-class variable-occupancy capacity-aware partition (the
-    two-class binner with an empty hi region)."""
-    return two_class_bin_slots(key, alive, rpt, n_tiles, 0, 0, capacity,
-                               capacity)
 
 
 def _segment_plan(n_steps, record_stride, seg_records):
@@ -670,8 +583,7 @@ def iter_trace_segments(
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=256, seg_records=25, interpret=False, verbose=False,
     stats=None, mesh=None, brick=(BX, BY, BZ), tile_factor=4,
-    rpt_hi=0, hi_tile_slack=2.0, brick_hi=None, bvec=None,
-    bin_horizon=1.3,
+    bvec=None, bin_horizon=1.3,
 ):
     """Generator yielding (rps, 8, n_tot) device records per segment, rows
     [x,y,z,S,ne,te,b,cos_theta], columns in ORIGINAL ray order (column i is ray
@@ -681,11 +593,6 @@ def iter_trace_segments(
 
     `stats` (optional dict) receives: 'tails' (list of TailGroup),
     'escaped' (total rays tailed), 'n_records', 'n_tot', 'plan'.
-
-    `rpt_hi` enables the two-class layout (see module docstring) when the
-    image is large enough to fill wide tiles; set 0 to force single-class.
-    `brick_hi` selects the hi-region brick (default: `brick`); a taller
-    brick (e.g. by=16) lets wide coherent leaves fit one brick.
 
     `mesh` (optional jax.sharding.Mesh with a 'rays' axis) partitions every
     kernel launch over chips via shard_map; cubes are replicated and the
@@ -755,8 +662,6 @@ def iter_trace_segments(
         return (bx_, by_, bz_)
 
     brick_lo = fit_brick(brick, rpt)
-    brick_hi = brick_lo if brick_hi is None \
-        else fit_brick(brick_hi, rpt_hi or rpt)
     plan, n_records = _segment_plan(n_steps, record_stride, seg_records)
     # Adaptive floor from a LAUNCH-state probe: sparse-ray workloads (small
     # n_pix over a wide FOV — e.g. the TbSpectra low band at reduced N_pix)
@@ -794,16 +699,7 @@ def iter_trace_segments(
     if n_shards > 1:                 # shard_map needs tiles % shards == 0
         n_tl = -(-n_tl // n_shards) * n_shards
         n_lo = n_tl * rpt
-
-    # hi region: only when the image can fill wide tiles (coherent leaves
-    # of rpt_hi rays exist at launch)
-    if rpt_hi and rpt_hi > rpt and n_rays >= 2 * rpt_hi:
-        n_th = int(np.ceil(hi_tile_slack * n_rays / rpt_hi))
-        n_th = -(-n_th // n_shards) * n_shards
-    else:
-        n_th, rpt_hi = 0, 0
-    n_hi = n_th * rpt_hi
-    n_tot = n_hi + n_lo
+    n_tot = n_lo
 
     # Retry occupancy: 1 (escape-proof single-ray tiles) whenever the tile
     # count alone gives ~256 rays of per-segment retry capacity; on small
@@ -842,14 +738,11 @@ def iter_trace_segments(
     stats["tails"] = []
     stats["n_records"] = n_records
     stats["n_tot"] = n_tot
-    stats["n_hi"] = n_hi
 
-    # kd capacities in R_sun per axis per region; the binner splits each
-    # class's leaves against ITS capacity (see two_class_bin_slots)
+    # kd capacity in R_sun per axis: the binner splits leaves against the
+    # usable brick extent (see capacity_bin_slots)
     cap_lo6 = _brick_capacity(grid, brick_lo, dt, perturb_ratio,
                               trace_crosssections)
-    cap_hi6 = _brick_capacity(grid, brick_hi, dt, perturb_ratio,
-                              trace_crosssections) if n_th else cap_lo6
     bounds_lo, bounds_hi = blo, bhi
 
     park_slots = None                   # set by the first binning
@@ -880,19 +773,18 @@ def iter_trace_segments(
     # retry mops up for ~nothing; rebinds cost host time and a snapshot
     # fetch on the steady-state critical path.
     def bin_rays(rows_h, act_h, path_len):
-        """Two-class capacity-aware binning on the 6-column original-order
-        key. Returns (gperm_new, park) — gperm_new[slot] = original id."""
+        """Capacity-aware binning on the 6-column original-order key.
+        Returns (gperm_new, park) — gperm_new[slot] = original id."""
         key, alive = bin_key(rows_h, act_h, path_len)
         alive_full = np.zeros(n_tot, bool)
         alive_full[:n_rays] = alive
-        return two_class_bin_slots(key, alive_full, rpt, n_tl, rpt_hi,
-                                   n_th, cap_hi6, cap_lo6)
+        return capacity_bin_slots(key, alive_full, rpt, n_tl, cap_lo6)
     stats.setdefault("retried", 0)
     timers = stats.setdefault(
         "phase_s", {"fit": 0.0, "fetch": 0.0, "bin": 0.0, "kernel": 0.0,
                     "esc": 0.0})
     clock = _time.perf_counter
-    caps2_dev = jnp.asarray(np.stack([cap_hi6, cap_lo6]), jnp.float32)
+    cap6_dev = jnp.asarray(cap_lo6, jnp.float32)
     bounds2_dev = jnp.asarray(np.stack([bounds_lo, bounds_hi]), jnp.float32)
 
     # Pipelined binning: segment i+1's binning runs WHILE segment i's
@@ -954,13 +846,9 @@ def iter_trace_segments(
         next_bin = None
         if binres is not None:
             gperm_new, park_slots = binres
-            if n_hi:
-                t, o = occ_stats(slice(0, n_hi), n_th, rpt_hi)
-                stats.setdefault("hi_tiles", []).append(t)
-                stats.setdefault("hi_occ", []).append(o)
-            t, o = occ_stats(slice(n_hi, None), n_tl, rpt)
-            stats.setdefault("lo_tiles", []).append(t)
-            stats.setdefault("lo_occ", []).append(o)
+            t, o = occ_stats(slice(0, None), n_tl, rpt)
+            stats.setdefault("tiles", []).append(t)
+            stats.setdefault("occ", []).append(o)
             packed = gperm_new.astype(np.int32)
             packed[park_slots] |= np.int32(-0x80000000)
             gperm_dev, inv_dev, park_up, local_dev = _unpack_binning(
@@ -971,23 +859,22 @@ def iter_trace_segments(
         t0 = clock()
         horiz = (horizon(*plan[seg_i + 1])
                  if seg_i + 1 < len(plan) else 0.0)
-        seg_start, khi, klo, key16, park_dev, fit_dev, act_dev = \
+        seg_start, klo, key16, park_dev, fit_dev, act_dev = \
             _pre_kernel_dev(
             state, local_dev, park_up, tailed_dev, gperm_dev, inv_dev,
-            jnp.float32(horiz), caps2_dev, bounds2_dev,
-            n_th, rpt_hi, n_tl, rpt, n_rays)
+            jnp.float32(horiz), cap6_dev, bounds2_dev,
+            n_tl, rpt, n_rays)
         try:
             fit_dev.copy_to_host_async()
         except AttributeError:
             pass
-        state_main, esc_dev, raw_hi, raw_lo = _trace_graph(
-            tcube, scube, khi, klo, mesh, grid, rpt_hi, rpt, rps,
+        state_main, esc_dev, raw_lo = _trace_graph(
+            tcube, scube, klo, mesh, grid, rpt, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret, brick_hi, brick_lo,
-            nch_s=nch_s)
+            trace_crosssections, interpret, brick_lo, nch_s=nch_s)
         (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
          _) = _retry_graph(
-            tcube, scube, seg_start, state_main, esc_dev, raw_hi, raw_lo,
+            tcube, scube, seg_start, state_main, esc_dev, raw_lo,
             inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
             n_retried, seg_i, mesh, grid, rpt, n_tl, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
@@ -1174,8 +1061,7 @@ def trace_rays_pallas(
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
     rpt=256, seg_records=25, interpret=False, verbose=False,
-    rpt_hi=0, brick_hi=None, bvec=None, brick=(BX, BY, BZ),
-    tile_factor=4,
+    bvec=None, brick=(BX, BY, BZ), tile_factor=4,
 ) -> PallasTraceResult:
     """Trace all rays with the fused Pallas kernel (cumulative-S semantics),
     assembling records on the host in original ray order. Records include
@@ -1189,8 +1075,7 @@ def trace_rays_pallas(
             omega_pe_cube, ne_cube, te_cube, b_cube, grid, freq_hz,
             start, kdir, dt, n_steps, record_stride, trace_crosssections,
             perturb_ratio, rpt, seg_records, interpret, verbose, stats,
-            rpt_hi=rpt_hi, brick_hi=brick_hi, bvec=bvec, brick=brick,
-            tile_factor=tile_factor):
+            bvec=bvec, brick=brick, tile_factor=tile_factor):
         rps = recs.shape[0]
         if rec_host is None:
             rec_host = np.zeros((stats["n_records"], n_rays, 8), np.float32)
