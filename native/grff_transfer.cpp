@@ -100,6 +100,13 @@ extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
   const int nz = Lparms[0];
   const int nf = Lparms[1];
   if (nz < 0 || nf <= 0) return 1;
+  // DEM/DDM transfer modes are NOT implemented. The reference always calls
+  // with Lparms[2..4] = 0 and dummy scalar T/DEM/DDM
+  // (script/synthetic_FF_map_single_thread.py:203-208); the real binary's
+  // Lparms[2] = NT (temperature nodes) with Lparms[3]/[4] the DEM/DDM
+  // on-keys. A caller handing real DEM data must get an error, not
+  // silently-ignored arrays (status 2, distinct from the bad-shape 1).
+  if (Lparms[2] > 0 || Lparms[3] != 0 || Lparms[4] != 0) return 2;
   const double area0 = Rparms[0];
   const double f0 = Rparms[1];
   const double dlog = Rparms[2];

@@ -45,18 +45,32 @@ def init_get_mw(libname=None):
     return fn
 
 
-def get_mw_native(lparms, rparms, parms):
+def get_mw_native(lparms, rparms, parms, t=None, dem=None, ddm=None):
     """Call the native library with the GET_MW contract; returns RL (7, Nf).
 
-    Same signature as grff.transfer.get_mw for easy cross-validation."""
+    Same signature as grff.transfer.get_mw for easy cross-validation.
+    t/dem/ddm accept only the reference's dummy scalars — the library
+    returns status 2 (and this raises) for DEM/DDM-mode inputs, which are
+    not implemented (see native/grff_transfer.cpp)."""
     fn = init_get_mw()
-    lparms = np.asfortranarray(np.asarray(lparms, np.int32))
+    lparms = np.asarray(lparms, np.int32)
+    if lparms.size < 5:   # C side reads Lparms[0..4] (reference layout)
+        lparms = np.concatenate([lparms, np.zeros(5 - lparms.size,
+                                                  np.int32)])
+    lparms = np.asfortranarray(lparms)
     rparms = np.asfortranarray(np.asarray(rparms, np.float64))
     parms = np.asfortranarray(np.asarray(parms, np.float64))
     nf = int(lparms[1])
     rl = np.zeros((7, nf), np.float64, order="F")
-    dummy = np.zeros(1, np.float64, order="F")
-    res = fn(lparms, rparms, parms, dummy, dummy, dummy, rl)
+
+    def farr(x):
+        return np.asfortranarray(
+            np.atleast_1d(np.asarray(0.0 if x is None else x, np.float64)))
+    res = fn(lparms, rparms, parms, farr(t), farr(dem), farr(ddm), rl)
+    if res == 2:
+        raise NotImplementedError(
+            "PyGET_MW status 2: DEM/DDM transfer modes (Lparms[2..4] != 0) "
+            "are not implemented")
     if res != 0:
         raise RuntimeError(f"PyGET_MW returned status {res}")
     return rl

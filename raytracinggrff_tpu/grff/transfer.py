@@ -237,7 +237,34 @@ def tb_from_sfu(flux_sfu, freq_hz, pixel_area_cm2):
     return flux_sfu * conv
 
 
-def get_mw(lparms, rparms, parms):
+def _reject_dem_inputs(lparms, t, dem, ddm):
+    """DEM/DDM transfer modes are NOT implemented — reject real inputs.
+
+    The reference always calls the binary with Lparms[2..4] = 0 and dummy
+    scalar T/DEM/DDM (script/synthetic_FF_map_single_thread.py:203-208);
+    the real GRFF_DEM_Transfer ABI uses Lparms[2] = NT (temperature nodes)
+    with Lparms[3]/[4] the DEM/DDM on-keys. Silently ignoring a caller's
+    real DEM data would return wrong answers, so anything non-dummy raises.
+    """
+    lparms = np.asarray(lparms)
+    if lparms.size > 2 and (lparms[2] > 0 or np.any(lparms[3:5] != 0)):
+        raise NotImplementedError(
+            "DEM/DDM transfer modes (Lparms[2..4] != 0) are not "
+            "implemented; this transfer supports the uniform-T path the "
+            "reference pipelines use (Lparms[2..4] = 0, dummy T/DEM/DDM)")
+    for name, arr in (("T", t), ("DEM", dem), ("DDM", ddm)):
+        if arr is None:
+            continue
+        arr = np.asarray(arr, np.float64)
+        if arr.size > 1 or (arr.size == 1 and float(arr.reshape(-1)[0])):
+            raise NotImplementedError(
+                f"non-dummy {name} array passed (shape {arr.shape}); "
+                "DEM/DDM transfer modes are not implemented — pass the "
+                "reference's dummy scalar 0 "
+                "(script/synthetic_FF_map_single_thread.py:203-208)")
+
+
+def get_mw(lparms, rparms, parms, t=None, dem=None, ddm=None):
     """Single-LOS GET_MW-compatible entry (ref ctypes contract:
     script/synthetic_FF_map_single_thread.py:27-35, 189-208).
 
@@ -245,9 +272,12 @@ def get_mw(lparms, rparms, parms):
     parms: (15, Nz) float array with rows
       0: ds cm, 1: T K, 2: n_e cm^-3, 3: |B| G, 4: theta deg,
       6: mechanism flags, 7: max harmonic, 14: per-voxel source area cm^2.
+    t/dem/ddm accept only the reference's dummy scalars (see
+    _reject_dem_inputs); real DEM/DDM inputs raise NotImplementedError.
     Returns RL (7, Nf): RL[0]=f GHz, RL[5]=O-mode SFU, RL[6]=X-mode SFU,
     RL[1]/RL[2] = total optical depths of the two modes.
     """
+    _reject_dem_inputs(lparms, t, dem, ddm)
     parms = np.asarray(parms, np.float64)
     nz = int(lparms[0])
     nf = int(lparms[1])

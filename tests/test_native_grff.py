@@ -132,6 +132,40 @@ def test_get_mw_per_voxel_theta():
     np.testing.assert_allclose(rl_a[5], rl_b[5], rtol=1e-6)
 
 
+def test_dem_ddm_inputs_rejected():
+    """DEM/DDM transfer modes are unimplemented; real inputs must error,
+    not be silently dropped (the binary's ABI carries T/DEM/DDM arrays —
+    the reference only ever passes dummy scalars,
+    synthetic_FF_map_single_thread.py:203-208)."""
+    from raytracinggrff_tpu.grff.native import get_mw_native
+    nz, nf = 6, 2
+    parms = _pack(np.full(nz, 1e9), np.full(nz, 1e6), np.full(nz, 1e8),
+                  np.full(nz, 1.0))
+    rparms = np.array([AREA, 100e6, 0.1])
+    lp_ok = np.array([nz, nf, 0, 0, 0], np.int32)
+
+    # non-scalar DEM array -> python paths raise
+    dem = np.ones((5, nz))
+    with pytest.raises(NotImplementedError, match="DEM"):
+        get_mw(lp_ok, rparms, parms, dem=dem)
+    # nonzero scalar T node also counts as non-dummy
+    with pytest.raises(NotImplementedError, match="T"):
+        get_mw(lp_ok, rparms, parms, t=np.array(1e6))
+
+    # Lparms[2] = NT > 0 -> DEM mode requested; both paths reject
+    lp_dem = np.array([nz, nf, 5, 1, 0], np.int32)
+    with pytest.raises(NotImplementedError, match="Lparms"):
+        get_mw(lp_dem, rparms, parms)
+    with pytest.raises(NotImplementedError, match="status 2"):
+        get_mw_native(lp_dem, rparms, parms)
+
+    # the dummy-scalar convention still works on every path
+    rl = get_mw(lp_ok, rparms, parms, t=np.array(0.0), dem=np.array(0.0),
+                ddm=np.array(0.0))
+    rl_n = get_mw_native(lp_ok, rparms, parms, t=0.0, dem=0.0, ddm=0.0)
+    assert np.all(rl[5] > 0) and np.all(rl_n[5] > 0)
+
+
 def test_get_mw_rejects_mixed_mechanism():
     nz, nf = 6, 1
     parms = _pack(np.full(nz, 1e9), np.full(nz, 1e6), np.full(nz, 1e8),
