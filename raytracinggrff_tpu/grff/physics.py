@@ -142,6 +142,25 @@ def gyroresonance_kappa(ne, te, b, nu, theta_rad, sigma, s_max=30, xp=jnp):
     exactly perpendicular propagation (the reference pipelines always pass
     theta=90 with gyroresonance disabled, Parms[6]=1+4).
 
+    ACCURACY (honest statement, pinned by tests/test_gyroresonance.py):
+    the angular factor F_sigma = (1 - sigma |cos|)^2 / 2 is the
+    quasi-longitudinal approximation to the exact Zheleznyakov
+    magnetoionic polarization coupling. It is exact as theta -> 0,
+    reproduces the canonical published harmonic-visibility pattern at
+    mid angles (X-mode corona optically thick through s = 3, O-mode
+    through s = 2 at AR parameters nu = 5 GHz, n_e = 1e9, T = 3 MK,
+    L_B = 1e9 cm — White & Kundu 1997; test_harmonic_visibility_
+    pattern_anchor), and degrades toward theta -> 90 deg where the
+    exact X/O coupling asymmetry is NOT captured (QL gives both modes
+    F = 1/2 there; the exact factors differ by orders of magnitude).
+    Treat tau from this function as order-of-magnitude for
+    theta > ~70 deg. This is a documented fidelity gap vs the
+    Fleishman-Kuznetsov exact code inside the reference's closed
+    GRFF_DEM_Transfer.so binary — which every reference production
+    pipeline runs with gyroresonance DISABLED
+    (script/resample_with_ray_tracing.py:496, Parms[6] = 1 + 4), so
+    behavioral parity on all shipped workflows is unaffected.
+
     Harmonic terms are evaluated in log space ((s-1) log(...) - lgamma(s+1))
     so s! up to 30 stays inside float32 range.
     """

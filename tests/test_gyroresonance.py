@@ -84,6 +84,52 @@ def test_layer_depth_matches_closed_form():
             assert 1e2 < tau_num < 1e8, (s, tau_num)
 
 
+def test_harmonic_visibility_pattern_anchor():
+    """Independent literature anchor: the canonical harmonic-visibility
+    pattern of thermal gyroresonance over active regions (White & Kundu
+    1997; White 2004 review) — at typical AR parameters the X-mode corona
+    is optically thick through harmonic s = 3 and the O-mode through
+    s = 2, while s = 4 is thin for both modes at ~3 MK; successive
+    harmonics drop by orders of magnitude.
+
+    Unlike test_layer_depth_matches_closed_form (which checks the
+    implementation against ITS OWN formula family), the expectation here
+    is the published observational/theoretical pattern itself, typed in
+    as optical-depth bounds; the layer depths are obtained by numerically
+    integrating gyroresonance_kappa through a linear-B layer. Canonical
+    parameters: nu = 5 GHz, theta = 45 deg, n_e = 1e9 cm^-3, T_e = 3 MK,
+    L_B = 1e9 cm (harmonic layers then sit at B = 595/446/357 G for
+    s = 3/4/5 — sunspot-strength fields, the GR regime)."""
+    ne, te, l_b, nu = 1e9, 3e6, 1e9, 5e9
+    theta = np.deg2rad(45.0)
+
+    def layer_tau(s, sigma):
+        b_res = nu / (s * 2.7992e6)
+        # +-0.1 L_B: ~6 Gaussian layer widths (beta |cos| ~ 0.016 L_B),
+        # yet narrow enough to exclude the ADJACENT harmonic's layer
+        # (s -> s+1 sits at a 1/(s+1)-fractional lower field, e.g. -25%
+        # for s=3 -> 4; a wider window double-counts neighboring layers)
+        xs = np.linspace(-0.1 * l_b, 0.1 * l_b, 6001)
+        b_x = b_res * (1.0 + xs / l_b)
+        kap = gyroresonance_kappa(np.float64(ne), np.float64(te), b_x, nu,
+                                  theta, sigma, xp=np)
+        return float(np.trapezoid(kap, xs))
+
+    tau_x = {s: layer_tau(s, -1.0) for s in (2, 3, 4)}
+    tau_o = {s: layer_tau(s, 1.0) for s in (2, 3, 4)}
+    # X mode: deeply thick at s=2, thick at s=3, thin at s=4 (at 3 MK)
+    assert tau_x[2] > 1e2, tau_x
+    assert 1.0 < tau_x[3] < 1e3, tau_x
+    assert tau_x[4] < 1.0, tau_x
+    # O mode: thick at s=2, thin at s=3 — one harmonic below X
+    assert tau_o[2] > 10.0, tau_o
+    assert tau_o[3] < 1.0, tau_o
+    # mode ratio: X over O by >= an order of magnitude at the same harmonic
+    assert tau_x[3] > 10.0 * tau_o[3], (tau_x, tau_o)
+    # successive harmonics drop steeply (thermal (s^2 beta^2)^(s-1) scaling)
+    assert tau_x[2] > 30.0 * tau_x[3] and tau_x[3] > 30.0 * tau_x[4]
+
+
 def test_transfer_with_gr_flag():
     """mechanism=1+2+4 adds gyroresonance absorption to the transfer; an
     optically thin free-free slab becomes optically thick at a resonance."""

@@ -62,35 +62,41 @@ def test_compiled_kernel_matches_xla():
     assert np.isfinite(res_p.ne).all() and np.isfinite(res_p.te).all()
 
 
-def test_compiled_streamed_emission_map():
-    """The full production stack COMPILED on hardware: async segment loop,
-    device-resident retry graph, one-shot XLA tails, streamed transfer —
-    vs the XLA record pipeline on the same chip."""
-    from raytracinggrff_tpu.pipeline import (RayEmissionConfig,
-                                             run_ray_tracing_emission)
+def _newkirk_cubes():
     grid = UniformGrid.cube(2.5, 40)
     xs, ys, zs = grid.axes()
     x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
     r = np.sqrt(x * x + y * y + z * z)
     ne = np.where(r >= 1.0, 4.2e4 * 10 ** (4.32 / np.maximum(r, 0.9)),
                   0.0).astype(np.float32)
-    cubes = {
+    return {
         "omega_pe": jnp.asarray(8.93e3 * np.sqrt(ne) * 2 * np.pi),
         "ne": jnp.asarray(ne),
         "te": jnp.asarray(np.full_like(ne, 1.4e6)),
         "b": jnp.asarray((2.0 / np.maximum(r, 0.9) ** 3).astype(np.float32)),
     }
-    common = dict(n_pix=16, x_fov=1.3, freq_hz=150e6, grid_n=40,
-                  grid_extent=2.5, z_observer=2.5, dt=1e-2, n_steps=310,
-                  record_stride=10, nfreq=2, freq_log_step=0.2,
-                  s_input_on=True)
+
+
+_STREAM_COMMON = dict(n_pix=16, x_fov=1.3, freq_hz=150e6, grid_n=40,
+                      grid_extent=2.5, z_observer=2.5, dt=1e-2, n_steps=310,
+                      record_stride=10, nfreq=2, freq_log_step=0.2,
+                      s_input_on=True)
+
+
+def test_compiled_streamed_emission_map():
+    """The full production stack COMPILED on hardware: async segment loop,
+    device-resident retry graph, one-shot XLA tails, streamed transfer —
+    vs the XLA record pipeline on the same chip."""
+    from raytracinggrff_tpu.pipeline import (RayEmissionConfig,
+                                             run_ray_tracing_emission)
+    cubes = _newkirk_cubes()
     r_pal = run_ray_tracing_emission(
         cubes=cubes, verbose=True,
         config=RayEmissionConfig(tracer_backend="pallas", seg_records=16,
-                                 pallas_interpret=False, **common))
+                                 pallas_interpret=False, **_STREAM_COMMON))
     r_xla = run_ray_tracing_emission(
         cubes=cubes, verbose=False,
-        config=RayEmissionConfig(tracer_backend="xla", **common))
+        config=RayEmissionConfig(tracer_backend="xla", **_STREAM_COMMON))
     a = r_xla["emission_cube"]
     b = r_pal["emission_cube"]
     lit = (a > 1e4) & (b > 1e4)
@@ -99,6 +105,39 @@ def test_compiled_streamed_emission_map():
     np.testing.assert_allclose(
         r_pal["emission_polVI_cube"][lit], r_xla["emission_polVI_cube"][lit],
         atol=1e-4)
+
+
+def test_compiled_shard_map_mesh_smoke():
+    """Mosaic-under-shard_map + the GSPMD-partitioned permute/retry/transfer
+    graphs COMPILED on the real chip via a 1-device ('rays','freq') mesh.
+
+    Every CPU-mesh test and the multichip dryrun run the kernel in interpret
+    mode, so without this test the first REAL multi-chip run would be the
+    first time shard_map-wrapped Mosaic meets the compiler. A 1-device mesh
+    exercises the identical partitioned graph structure (shard_map tracing,
+    sharding constraints, collective lowering) minus cross-chip traffic."""
+    import jax
+    from raytracinggrff_tpu.parallel.mesh import make_mesh
+    from raytracinggrff_tpu.pipeline import (RayEmissionConfig,
+                                             run_ray_tracing_emission)
+    cubes = _newkirk_cubes()
+    cfg = RayEmissionConfig(tracer_backend="pallas", seg_records=16,
+                            pallas_interpret=False, **_STREAM_COMMON)
+    mesh = make_mesh(n_ray_shards=1, n_freq_shards=1,
+                     devices=jax.devices()[:1])
+    r_mesh = run_ray_tracing_emission(cubes=cubes, verbose=True,
+                                      config=cfg, mesh=mesh)
+    r_xla = run_ray_tracing_emission(
+        cubes=cubes, verbose=False,
+        config=RayEmissionConfig(tracer_backend="xla", **_STREAM_COMMON))
+    a = r_xla["emission_cube"]
+    b = r_mesh["emission_cube"]
+    lit = (a > 1e4) & (b > 1e4)
+    assert lit.sum() > 80
+    np.testing.assert_allclose(b[lit], a[lit], rtol=5e-3)
+    np.testing.assert_allclose(
+        r_mesh["emission_polVI_cube"][lit],
+        r_xla["emission_polVI_cube"][lit], atol=1e-4)
 
 
 def test_compiled_theta_los_map():
