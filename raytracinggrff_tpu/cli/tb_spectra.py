@@ -84,26 +84,48 @@ def select_params(freq_hz):
 def quantize_params(p, seg_records=25):
     """Snap a preset onto the sweep's shared-compilation lattice.
 
-    The reference presets interpolate grid_n and n_steps continuously in
-    log-frequency (TbSpectra_gen.py:56-70), which on TPU makes every
-    high-band frequency a unique cube shape (fresh resample + fresh
-    XLA/Mosaic compile) and a unique segment plan (fresh kernel variants).
-    Two TPU-native adjustments, both only ever granting MORE resolution
-    or steps than the preset asked for:
+    The reference presets interpolate grid_n, grid_extent, n_steps, and
+    record_stride continuously in log-frequency (TbSpectra_gen.py:56-70),
+    which on TPU makes every high-band frequency a unique cube (fresh
+    resample) and a unique kernel variant (fresh XLA/Mosaic compile).
+    Measured on the 30-frequency production sweep, the raw presets need
+    15 distinct cubes and 19 kernel variants; this lattice holds them to
+    ~9 cubes / 4 shapes / ~6 kernel variants. Every adjustment only ever
+    grants MORE resolution, steps, or records than the preset asked for:
 
-    * grid_n rounds UP to a multiple of 64 -> a 30-frequency sweep shares
-      ~4 cube shapes instead of ~15 (resample cache + compile cache hits).
+    * grid_extent rounds UP to a multiple of 0.25 R_sun.
+    * grid_n rounds UP to a multiple of 128 AND far enough to keep the
+      cell size dx = 2*extent/grid_n at or below the preset's dx (the
+      kernel itself is extent-agnostic — grid origin/steps ride as SMEM
+      scalars, ops/pallas_trace.grid_param_vec — so only the SHAPE
+      lattice matters for compiles; the extent lattice bounds the number
+      of cube resamples).
+    * record_stride rounds DOWN to a power of two (more records, denser
+      LOS sampling) -> one kernel variant per (shape, stride) pair with
+      strides drawn from {4, 8} instead of {4..10}.
     * n_steps rounds UP so the trace is a whole number of full
       (seg_records x record_stride)-step segments -> one kernel/driver
-      graph variant per record_stride instead of three (leading, bulk,
+      graph variant per stride instead of three (leading, bulk,
       trailing). Extra steps land after rays have left the cube and
       record frozen no-op rows.
 
     Disable with --exact-presets for strict reference-preset parity.
     """
     q = dict(p)
-    q["grid_n"] = -(-int(p["grid_n"]) // 64) * 64
+    ext = float(p["grid_extent"])
+    dx_preset = 2.0 * ext / int(p["grid_n"])
+    ext_q = float(np.ceil(ext / 0.25) * 0.25)
+    q["grid_extent"] = ext_q
+    n_min = int(np.ceil(2.0 * ext_q / dx_preset))
+    # shape lattice: multiples of 128 plus 576 — the 800 MHz preset needs
+    # n=538 and rounding it to 640 costs ~2 GB of extra HBM at the
+    # sweep's peak (fused tcube+scube+raw cubes ~12 GB on a 16 GB chip)
+    # for no resolution the preset asked for; 576 keeps the 64-node
+    # alignment the kernel layout needs
+    q["grid_n"] = next(n for n in sorted(
+        [128 * k for k in range(1, 33)] + [576]) if n >= n_min)
     stride = int(p["record_stride"])
+    q["record_stride"] = stride = max(1, 2 ** int(np.log2(stride)))
     n_rec = -(-int(p["n_steps"]) // stride)
     n_rec = -(-n_rec // seg_records) * seg_records
     q["n_steps"] = n_rec * stride
@@ -198,6 +220,11 @@ def main(argv=None):
                 from ..grids import UniformGrid
                 from ..mas.model import MASModel
                 from ..pipeline import prepare_cubes
+                # keep ONE cube set resident: presets are monotone in
+                # frequency so each (grid_n, extent) group is contiguous,
+                # and high-band cubes (512^3+ x 4 fields) would otherwise
+                # accumulate to more HBM than the chip has
+                cube_cache.clear()
                 grid = UniformGrid.cube(p["grid_extent"], p["grid_n"])
                 cube_cache[key] = prepare_cubes(
                     MASModel(args.model_path), grid, args.phi0_offset,

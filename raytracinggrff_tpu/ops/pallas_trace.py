@@ -89,12 +89,10 @@ def _tent_weights(l, n_rows, rows):
     return jnp.maximum(0.0, 1.0 - jnp.abs(l - jj))
 
 
-def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
+def _make_kernel(grid_shape, rpt, rps, stride, first_block,
                  perturb_ratio, trace_crosssections, nx_pad,
                  bx=BX, by=BY, bz=BZ, check_every=CHECK_EVERY, nch_s=NCH):
-    nx, ny, nz = grid.shape
-    inv_dx, inv_dy, inv_dz = (np.float32(v) for v in grid.inv_steps)
-    x0, y0, z0 = (np.float32(v) for v in grid.origin)
+    nx, ny, nz = grid_shape
     fnx, fny, fnz = np.float32(nx - 1), np.float32(ny - 1), np.float32(nz - 1)
     c_r = np.float32(C_R)
     pr = np.float32(perturb_ratio)
@@ -103,9 +101,6 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
     # staging lane width: the per-y-row rolls that build the fused windows
     # slice their first by*bx lanes, so staging must be at least that wide
     w_pad = max(nx_pad, by * bx)
-
-    def to_frac(px, py, pz):
-        return ((px - x0) * inv_dx, (py - y0) * inv_dy, (pz - z0) * inv_dz)
 
     def brick_sample(win_ref, lx, ly, lz, n_rows, nch=NCH):
         """Trilinear sample of a (bz*C, by*bx) fused-window at local
@@ -128,14 +123,22 @@ def _make_kernel(grid: UniformGrid, rpt, rps, stride, first_block,
         t3 = jnp.sum(t1 * wz[:, None, :], axis=0)    # (C, R)
         return tuple(t3[c:c + 1] for c in range(nch))
 
-    def kernel(dt_ref, tcube, scube, state_in, state_out, rec_out,
+    def kernel(par_ref, tcube, scube, state_in, state_out, rec_out,
                tbrick, sbrick, twin, swin, nrow, orig_ref, sem):
         state = state_in[0]                       # (8, rpt)
-        # dt arrives as an SMEM scalar so one compiled kernel serves every
-        # step size: the production TbSpectra sweep uses a distinct dt per
-        # frequency (cli/tb_spectra.py presets), and dt-as-static cost
-        # ~90 s of XLA+Mosaic recompile per frequency.
-        dt = dt_ref[0]
+        # dt AND the grid origin/steps arrive as SMEM scalars so one
+        # compiled kernel serves every step size and every cube EXTENT of
+        # a given shape: the production TbSpectra sweep uses a distinct
+        # (dt, grid_extent) per frequency (cli/tb_spectra.py presets), and
+        # each value as a baked constant cost ~90 s of XLA+Mosaic
+        # recompile per frequency. Only the cube SHAPE stays static.
+        dt = par_ref[0]
+        x0, y0, z0 = par_ref[1], par_ref[2], par_ref[3]
+        inv_dx, inv_dy, inv_dz = par_ref[4], par_ref[5], par_ref[6]
+
+        def to_frac(px, py, pz):
+            return ((px - x0) * inv_dx, (py - y0) * inv_dy,
+                    (pz - z0) * inv_dz)
         # Per-axis reload margin in cells: everything that can poke beyond
         # the ACTIVE bbox before the next bounds check — check_every steps
         # of motion (<= dt*C_R each), the cross-section perturbation offset
@@ -596,12 +599,23 @@ class PallasSegmentResult(NamedTuple):
     records: jax.Array    # (n_tiles, rps, 8, rpt)
 
 
+def grid_param_vec(grid: UniformGrid):
+    """Dynamic kernel grid parameters [x0, y0, z0, 1/dx, 1/dy, 1/dz].
+
+    Riding as SMEM scalars (with dt prepended by run_trace_segment) so a
+    compiled kernel is keyed on the cube SHAPE only — the TbSpectra sweep
+    interpolates grid_extent continuously per frequency, and extent as a
+    static key made every frequency its own Mosaic compile."""
+    return np.concatenate([np.asarray(grid.origin, np.float32),
+                           np.asarray(grid.inv_steps, np.float32)])
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "rpt", "rps", "stride", "first_block",
+    static_argnames=("grid_shape", "rpt", "rps", "stride", "first_block",
                      "perturb_ratio", "trace_crosssections", "interpret",
                      "bx", "by", "bz", "sample_channels"))
-def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
+def run_trace_segment(tcube, scube, state, gvec, grid_shape, rpt, rps,
                       stride, first_block, dt, perturb_ratio,
                       trace_crosssections=True, interpret=False,
                       bx=BX, by=BY, bz=BZ, sample_channels=NCH):
@@ -611,6 +625,7 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     scube carries `sample_channels` channels (4: ne,te,b,pad — or 8:
     ne,te,b,bx,by,bz,pad,pad for theta_mode='los').
     state: (n_tiles, 8, rpt) rows [rx,ry,rz,kx,ky,kz,cumS,escaped].
+    gvec: grid_param_vec(grid) (dynamic); grid_shape: grid.shape (static).
     Records rows: [x, y, z, S, ne, te, b, cos_theta(B,k) or 0].
     bx/by/bz select the brick size: the (y, x) extents ride the MXU
     contraction (bz*NCH x by*bx MACs per ray per sample — near-free at
@@ -619,18 +634,21 @@ def run_trace_segment(tcube, scube, state, grid: UniformGrid, rpt, rps,
     """
     n_tiles = state.shape[0]
     nx_pad = tcube.shape[2]
-    if by > grid.ny or bz > grid.nz:
+    _, gny, gnz = grid_shape
+    if by > gny or bz > gnz:
         # the y/z brick axes are DMA-sliced out of the cube, so a brick
         # taller than the cube reads out of range (silently, on hardware);
         # the driver pre-shrinks via fit_brick — direct callers must too
         raise ValueError(
             f"brick (by={by}, bz={bz}) exceeds cube "
-            f"(ny={grid.ny}, nz={grid.nz}); shrink the brick y/z")
+            f"(ny={gny}, nz={gnz}); shrink the brick y/z")
     bzc = bz * NCH
     bzc_s = bz * sample_channels
     w_pad = max(nx_pad, by * bx)
-    dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
-    kernel = _make_kernel(grid, rpt, rps, stride, first_block,
+    dt_arr = jnp.concatenate([
+        jnp.reshape(jnp.asarray(dt, jnp.float32), (1,)),
+        jnp.asarray(gvec, jnp.float32)])
+    kernel = _make_kernel(grid_shape, rpt, rps, stride, first_block,
                           float(perturb_ratio), trace_crosssections, nx_pad,
                           bx, by, bz, nch_s=sample_channels)
     out = pl.pallas_call(

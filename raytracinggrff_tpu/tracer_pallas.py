@@ -74,7 +74,8 @@ import jax.numpy as jnp
 
 from .grids import UniformGrid
 from .ops.pallas_trace import (BX, BY, BZ, CHECK_EVERY, PallasSegmentResult,
-                               pack_cube_zc, run_trace_segment)
+                               grid_param_vec, pack_cube_zc,
+                               run_trace_segment)
 from .ops.trilinear import pack_fields, trilinear_packed
 from .tracer import gradient_cubes, init_k_vectors, pack_trace_table, \
     trace_rays
@@ -103,30 +104,34 @@ def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
     return tcube, scube, k0
 
 
-def _kernel_call(tcube, scube, kstate, mesh, grid, rpt, rps, stride,
-                 first_block, dt, perturb_ratio, trace_crosssections,
-                 interpret, bx, by, bz, nch_s=4):
+def _kernel_call(tcube, scube, kstate, gvec, mesh, gshape, rpt, rps,
+                 stride, first_block, dt, perturb_ratio,
+                 trace_crosssections, interpret, bx, by, bz, nch_s=4):
     """One trace-segment kernel launch; shard_mapped over ray tiles when a
-    mesh is given (tiles are independent, cubes replicated)."""
+    mesh is given (tiles are independent, cubes replicated). `gvec` is the
+    dynamic grid origin/steps vector (grid_param_vec), `gshape` the static
+    cube shape — one compiled kernel per shape, not per extent."""
     if mesh is None:
-        return run_trace_segment(tcube, scube, kstate, grid, rpt, rps,
-                                 stride, first_block, dt, perturb_ratio,
-                                 trace_crosssections, interpret,
-                                 bx=bx, by=by, bz=bz, sample_channels=nch_s)
+        return run_trace_segment(tcube, scube, kstate, gvec, gshape, rpt,
+                                 rps, stride, first_block, dt,
+                                 perturb_ratio, trace_crosssections,
+                                 interpret, bx=bx, by=by, bz=bz,
+                                 sample_channels=nch_s)
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     fn = shard_map(
-        lambda a, b, c, d: run_trace_segment(
-            a, b, c, grid, rpt, rps, stride, first_block, d,
+        lambda a, b, c, g, d: run_trace_segment(
+            a, b, c, g, gshape, rpt, rps, stride, first_block, d,
             perturb_ratio, trace_crosssections, interpret,
             bx=bx, by=by, bz=bz, sample_channels=nch_s),
         mesh=mesh,
-        in_specs=(P(), P(), P("rays", None, None), P()),
+        in_specs=(P(), P(), P("rays", None, None), P(), P()),
         out_specs=PallasSegmentResult(
             state=P("rays", None, None),
             records=P("rays", None, None, None)),
         check_vma=False)
-    return fn(tcube, scube, kstate, jnp.asarray(dt, jnp.float32))
+    return fn(tcube, scube, kstate, jnp.asarray(gvec, jnp.float32),
+              jnp.asarray(dt, jnp.float32))
 
 
 @jax.jit
@@ -221,10 +226,10 @@ def _untile_recs(rec_tiles):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "grid", "rpt_lo", "rps", "stride", "first_block",
+    "mesh", "gshape", "rpt_lo", "rps", "stride", "first_block",
     "perturb_ratio", "trace_crosssections", "interpret",
     "brick_lo", "nch_s"))
-def _trace_graph(tcube, scube, klo, mesh, grid, rpt_lo, rps,
+def _trace_graph(tcube, scube, klo, gvec, mesh, gshape, rpt_lo, rps,
                  stride, first_block, dt, perturb_ratio,
                  trace_crosssections, interpret, brick_lo, nch_s=4):
     """Segment kernel + unpack for the async loop: returns the (n_tot, 8)
@@ -233,7 +238,7 @@ def _trace_graph(tcube, scube, klo, mesh, grid, rpt_lo, rps,
     through the axon tunnel, where every dispatch costs ~0.1 s of
     round-trip latency."""
     res_lo = _kernel_call(
-        tcube, scube, klo, mesh, grid, rpt_lo, rps, stride,
+        tcube, scube, klo, gvec, mesh, gshape, rpt_lo, rps, stride,
         first_block, dt, perturb_ratio, trace_crosssections,
         interpret, *brick_lo, nch_s=nch_s)
     esc = res_lo.state[:, 7, :].reshape(-1) > 0.5
@@ -242,13 +247,13 @@ def _trace_graph(tcube, scube, klo, mesh, grid, rpt_lo, rps,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mesh", "grid", "rpt_lo", "n_tl", "rps", "stride",
+    "mesh", "gshape", "rpt_lo", "n_tl", "rps", "stride",
     "first_block", "perturb_ratio", "trace_crosssections",
     "interpret", "brick_lo", "occ_r", "nch_s"))
 def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_lo,
                  inv, park_main, tailed, tail_state, tail_seg,
-                 n_retried, seg_idx,
-                 mesh, grid, rpt_lo, n_tl, rps, stride, first_block,
+                 n_retried, seg_idx, gvec,
+                 mesh, gshape, rpt_lo, n_tl, rps, stride, first_block,
                  dt, perturb_ratio, trace_crosssections, interpret,
                  brick_lo, occ_r=1, nch_s=4):
     """Device-resident escape handling: compact the escapees, re-run their
@@ -312,10 +317,10 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_lo,
         kstate_r = kstate_r.at[:, 6, :].set(
             jnp.where(park_f > 0.5, 0.0, kstate_r[:, 6, :]))
 
-        res_r = _kernel_call(tcube, scube, kstate_r, mesh, grid, rpt_lo,
-                             rps, stride, first_block, dt, perturb_ratio,
-                             trace_crosssections, interpret, *brick_lo,
-                             nch_s=nch_s)
+        res_r = _kernel_call(tcube, scube, kstate_r, gvec, mesh, gshape,
+                             rpt_lo, rps, stride, first_block, dt,
+                             perturb_ratio, trace_crosssections, interpret,
+                             *brick_lo, nch_s=nch_s)
         esc_r = res_r.state[:, 7, :].reshape(n_lo) > 0.5
         state_r = _untile(res_r.state).at[:, 7].set(0.0)
 
@@ -696,9 +701,16 @@ def iter_trace_segments(
             rpt //= 2
         n_lo = max(n_lo, rpt * n_shards)
     n_tl = n_lo // rpt
+    # The tile count is the Pallas grid size — a COMPILE key. Rounding it
+    # up to a power of two keeps the adaptive budget (which varies with
+    # launch geometry, dt, and step count) from minting a fresh Mosaic
+    # kernel per workload: a 30-frequency TbSpectra sweep shares one
+    # variant per (cube shape, stride) instead of one per frequency.
+    # Padding tiles are all-parked and skip their step loop in-kernel.
+    n_tl = 1 << int(np.ceil(np.log2(max(n_tl, 1))))
     if n_shards > 1:                 # shard_map needs tiles % shards == 0
         n_tl = -(-n_tl // n_shards) * n_shards
-        n_lo = n_tl * rpt
+    n_lo = n_tl * rpt
     n_tot = n_lo
 
     # Retry occupancy: 1 (escape-proof single-ray tiles) whenever the tile
@@ -786,6 +798,10 @@ def iter_trace_segments(
     clock = _time.perf_counter
     cap6_dev = jnp.asarray(cap_lo6, jnp.float32)
     bounds2_dev = jnp.asarray(np.stack([bounds_lo, bounds_hi]), jnp.float32)
+    # dynamic grid origin/steps: one compiled kernel per cube SHAPE, so the
+    # TbSpectra sweep's continuously-interpolated grid extents share
+    # compiles (see ops.pallas_trace.grid_param_vec)
+    gvec_dev = jnp.asarray(grid_param_vec(grid))
 
     # Pipelined binning: segment i+1's binning runs WHILE segment i's
     # kernel executes, using segment i's START state (whose device->host
@@ -869,14 +885,14 @@ def iter_trace_segments(
         except AttributeError:
             pass
         state_main, esc_dev, raw_lo = _trace_graph(
-            tcube, scube, klo, mesh, grid, rpt, rps,
+            tcube, scube, klo, gvec_dev, mesh, grid.shape, rpt, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret, brick_lo, nch_s=nch_s)
         (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
          _) = _retry_graph(
             tcube, scube, seg_start, state_main, esc_dev, raw_lo,
             inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
-            n_retried, seg_i, mesh, grid, rpt, n_tl, rps,
+            n_retried, seg_i, gvec_dev, mesh, grid.shape, rpt, n_tl, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret, brick_lo, occ_r=occ_r,
             nch_s=nch_s)

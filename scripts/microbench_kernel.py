@@ -45,7 +45,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from raytracinggrff_tpu.grids import UniformGrid
-    from raytracinggrff_tpu.ops.pallas_trace import (pack_cube_zc,
+    from raytracinggrff_tpu.ops.pallas_trace import (grid_param_vec,
+                                                     pack_cube_zc,
                                                      run_trace_segment)
 
     n = args.grid_n
@@ -73,7 +74,8 @@ def main():
 
         def run(rps):
             out = run_trace_segment(
-                tcube, scube, state_j, grid, rpt, rps, args.stride,
+                tcube, scube, state_j, grid_param_vec(grid),
+                grid.shape, rpt, rps, args.stride,
                 args.stride, 6e-3, 2.0, True, False,
                 bx=brick[0], by=brick[1], bz=brick[2])
             float(np.asarray(out.state[0, 0, 0]))
