@@ -176,3 +176,43 @@ def test_refractive_index_limits():
     n2_x = refractive_index_sq(X, np.array(0.2), np.pi / 2, -1.0, xp=np)
     np.testing.assert_allclose(n2_x, 1 - 0.3 * 0.7 / (0.7 - 0.04),
                                rtol=1e-9)
+
+
+def test_full_mechanism_sweep_matches_float64_reference():
+    """mechanism=1+2+4 + gaunt='exact' + per-voxel theta (the full Parms
+    contract in one call) against the float64 per-voxel-loop oracle on a
+    B-strong scene where gyroresonance layers dominate entire columns.
+
+    nu is held a few layer-widths off exact resonance centers: the
+    Gaussian layer width is s*nu_B*beta*|cos| (~0.5% of nu), so float32
+    evaluation of the line profile is exact to ~1e-3 there, while the
+    layers still raise tau by orders of magnitude over free-free."""
+    rng = np.random.default_rng(7)
+    nz, n_pix = 40, 8
+    ds = rng.uniform(1e8, 1e9, (nz, n_pix))
+    te = 10 ** rng.uniform(5.8, 6.6, (nz, n_pix))
+    ne = 10 ** rng.uniform(7.5, 9.0, (nz, n_pix))
+    # fields spanning the s=2..4 layers of a 1 GHz wave (B_res=179/119/89 G)
+    b = rng.uniform(60.0, 220.0, (nz, n_pix))
+    theta = rng.uniform(20.0, 160.0, (nz, n_pix))
+    valid = rng.uniform(size=(nz, n_pix)) > 0.15
+    freqs = log_spaced_freqs(1.0e9, 3, 0.05)
+
+    jit_res = grff_transfer(ds, te, ne, b, valid, freqs, AREA,
+                            theta_deg=theta, mechanism=1 + 2 + 4,
+                            gaunt="exact")
+    ref = grff_transfer_reference(ds, te, ne, b, valid, freqs, AREA,
+                                  theta_deg=theta, mechanism=1 + 2 + 4,
+                                  gaunt="exact")
+    # GR must actually matter on this scene (vs free-free-only tau)
+    ref_ff = grff_transfer_reference(ds, te, ne, b, valid, freqs, AREA,
+                                     theta_deg=theta, mechanism=1 + 4,
+                                     gaunt="exact")
+    assert np.nanmedian(np.where(np.isinf(ref["tau_x"]), np.nan,
+                                 ref["tau_x"])) > 3 * np.nanmedian(
+        np.where(np.isinf(ref_ff["tau_x"]), np.nan, ref_ff["tau_x"]))
+    for a, b_ in ((jit_res.flux_o, ref["flux_o"]),
+                  (jit_res.flux_x, ref["flux_x"])):
+        a = np.asarray(a, np.float64)
+        scale = np.maximum(np.abs(b_), np.abs(b_).max() * 1e-6)
+        assert np.max(np.abs(a - b_) / scale) < 0.02

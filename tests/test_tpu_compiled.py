@@ -140,6 +140,65 @@ def test_compiled_shard_map_mesh_smoke():
         r_xla["emission_polVI_cube"][lit], atol=1e-4)
 
 
+def test_compiled_mechanism_sweep_map():
+    """mechanism=1+2+4 + gaunt='exact' + theta_mode='los' COMPILED in one
+    run: the 29-harmonic unrolled gyroresonance sum inside the streamed
+    per-voxel transfer update has never otherwise met the TPU compiler.
+    B is scaled so the s=2..4 layers of a 150 MHz wave (18-27 G) sit in
+    the corona; parity is against the XLA record pipeline with identical
+    flags (whose transfer math is pinned to the float64 oracle by
+    tests/test_grff.py::test_full_mechanism_sweep_matches_float64_...)."""
+    from raytracinggrff_tpu.pipeline import (RayEmissionConfig,
+                                             run_ray_tracing_emission)
+    grid = UniformGrid.cube(2.5, 40)
+    xs, ys, zs = grid.axes()
+    x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    ne = np.where(r >= 1.0, 4.2e4 * 10 ** (4.32 / np.maximum(r, 0.9)),
+                  0.0).astype(np.float32)
+    rs = np.maximum(r, 0.9)
+    scale = 40.0   # dipole moment: |B| ~ 80/r^3 G -> GR layers at 150 MHz
+    bx_c = (scale * 3 * x * y / rs ** 5).astype(np.float32)
+    by_c = (scale * (2 * y * y - x * x - z * z) / rs ** 5).astype(np.float32)
+    bz_c = (scale * 3 * z * y / rs ** 5).astype(np.float32)
+    bmag = np.sqrt(bx_c ** 2 + by_c ** 2 + bz_c ** 2).astype(np.float32)
+    cubes = {
+        "omega_pe": jnp.asarray(8.93e3 * np.sqrt(ne) * 2 * np.pi),
+        "ne": jnp.asarray(ne),
+        "te": jnp.asarray(np.full_like(ne, 1.4e6)),
+        "b": jnp.asarray(bmag),
+        "bvec": (jnp.asarray(bx_c), jnp.asarray(by_c), jnp.asarray(bz_c)),
+    }
+    common = dict(n_pix=16, x_fov=1.3, freq_hz=150e6, grid_n=40,
+                  grid_extent=2.5, z_observer=2.5, dt=1e-2, n_steps=310,
+                  record_stride=10, s_input_on=True, theta_mode="los",
+                  mechanism=1 + 2 + 4, gaunt="exact")
+    import time
+    t0 = time.perf_counter()
+    r_pal = run_ray_tracing_emission(
+        cubes=cubes, verbose=True,
+        config=RayEmissionConfig(tracer_backend="pallas", seg_records=16,
+                                 pallas_interpret=False, **common))
+    t_pal = time.perf_counter() - t0
+    r_xla = run_ray_tracing_emission(
+        cubes=cubes, verbose=False,
+        config=RayEmissionConfig(tracer_backend="xla", **common))
+    print(f"[mechanism-sweep] compiled streamed GR map: {t_pal:.1f}s "
+          "(incl. compile)")
+    a = r_xla["emission_cube"]
+    b = r_pal["emission_cube"]
+    lit = (a > 1e4) & (b > 1e4)
+    assert lit.sum() > 80
+    np.testing.assert_allclose(b[lit], a[lit], rtol=2e-2)
+    # GR must matter: the same scene with mechanism=1+4 differs
+    r_ff = run_ray_tracing_emission(
+        cubes=cubes, verbose=False,
+        config=RayEmissionConfig(tracer_backend="xla",
+                                 **{**common, "mechanism": 1 + 4}))
+    assert np.max(np.abs(r_ff["emission_cube"][lit] - a[lit])
+                  / np.maximum(a[lit], 1.0)) > 1e-3
+
+
 def test_compiled_theta_los_map():
     """theta_mode='los' COMPILED on hardware: the 8-channel sample brick
     doubles the kernel's staging VMEM, which used to OOM Mosaic's 16M
