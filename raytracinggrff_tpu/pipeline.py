@@ -225,9 +225,21 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
     n_rays = start.shape[0]
 
     backend = cfg.tracer_backend
+    if backend == "pallas" and cfg.s_mode != "cumulative":
+        # the fused kernel implements only the production (GPU-reference)
+        # cumulative-S semantics; silently returning cumulative S for a
+        # per_step request would be a wrong-answer trap
+        raise ValueError(
+            "s_mode='per_step' (the CPU-reference semantics, "
+            "build_rays.py:241-244) is only implemented on the XLA "
+            "tracer; use tracer_backend='xla' or s_mode='cumulative'")
     if backend == "auto":
         backend = ("pallas" if jax.default_backend() not in ("cpu",)
                    and cfg.s_mode == "cumulative" else "xla")
+        if cfg.s_mode != "cumulative":
+            log("s_mode='per_step' requested: routing to the XLA tracer "
+                "(the Pallas kernel implements cumulative S only; expect "
+                "the slower gather path)")
 
     log(f"Ray tracing {n_rays} rays "
         f"({cfg.n_steps} steps, stride {cfg.record_stride}, "

@@ -120,3 +120,15 @@ def test_polar_cuts_and_plot(corona, tmp_path):
     out = tmp_path / "polar.png"
     rc = main(["-m", str(corona), "--polar", "-o", str(out)])
     assert rc == 0 and out.exists()
+
+
+def test_pallas_rejects_per_step_s_mode(corona):
+    """Explicit pallas + per_step must raise, not silently return
+    cumulative S (the kernel implements only the GPU-reference cumulative
+    semantics; the CPU-reference per-step path lives on the XLA tracer,
+    build_rays.py:241-244)."""
+    cfg = RayEmissionConfig(n_pix=4, freq_hz=80e6, grid_n=24, n_steps=20,
+                            s_mode="per_step", tracer_backend="pallas")
+    with pytest.raises(ValueError, match="per_step"):
+        run_ray_tracing_emission(model_path=corona, config=cfg,
+                                 verbose=False)
