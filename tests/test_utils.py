@@ -1,6 +1,7 @@
 """Utility-layer tests: NaN patcher, beam convolution, FITS reader."""
 
 import numpy as np
+import pytest
 
 from raytracinggrff_tpu.utils.beam import gaussian_beam_convolve
 from raytracinggrff_tpu.utils.fits import load_observation_map, read_fits_image
@@ -119,3 +120,23 @@ def test_load_observation_npz(tmp_path):
     m, x, y, meta = load_observation_map(str(p))
     assert m.shape == (8, 8)
     assert x is not None
+
+
+def test_sdo_context_cli(tmp_path):
+    """3-panel context figure from local FITS (plot_SDO_context.py parity
+    given local inputs; fetching is out of scope)."""
+    pytest.importorskip("matplotlib")
+    from raytracinggrff_tpu.cli.sdo_context import main
+    from raytracinggrff_tpu.utils.fits import write_fits_image
+
+    rng = np.random.default_rng(3)
+    write_fits_image(tmp_path / "a304.fits", rng.uniform(0, 255, (32, 32)))
+    write_fits_image(tmp_path / "a171.fits", rng.uniform(0, 255, (32, 32)))
+    write_fits_image(tmp_path / "hmi.fits",
+                     rng.normal(0.0, 300.0, (32, 32)))
+    out = tmp_path / "ctx.png"
+    main(["--aia304", str(tmp_path / "a304.fits"),
+          "--aia171", str(tmp_path / "a171.fits"),
+          "--hmi", str(tmp_path / "hmi.fits"),
+          "-d", "2025-06-08T20:00", "-o", str(out)])
+    assert out.exists() and out.stat().st_size > 1000
