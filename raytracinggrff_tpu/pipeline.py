@@ -268,10 +268,11 @@ def run_ray_tracing_emission(model_path=None, config: RayEmissionConfig = None,
                            cfg.dt, cfg.n_steps, cfg.record_stride,
                            trace_crosssections=True,
                            perturb_ratio=cfg.perturb_ratio,
-                           s_mode=cfg.s_mode)
+                           s_mode=cfg.s_mode, record_k=need_bvec)
         log("Sampling Ne/Te/B along rays...")
         sampled = sample_model_with_rays(model_table, grid, trace.r_record,
-                                         trace.s_record, start)
+                                         trace.s_record, start,
+                                         k_record=trace.k_record)
         log(f"GRFF transfer ({cfg.nfreq} freqs, "
             f"{'S on' if cfg.s_input_on else 'S off'})...")
         s_area = (sampled.s * jnp.float32(pixel_area_cm2)

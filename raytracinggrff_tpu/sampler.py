@@ -56,6 +56,7 @@ def sample_model_with_rays(
     fill_ne: float = FILL_NE,
     fill_te: float = FILL_TE,
     fill_b: float = FILL_B,
+    k_record=None,             # (n_steps, n_rays, 3) wave vectors at records
 ) -> LosSamples:
     pos = jnp.asarray(r_record, jnp.float32)
     s = jnp.asarray(s_arr, jnp.float32)
@@ -85,15 +86,36 @@ def sample_model_with_rays(
 
     cos_t = None
     if nch >= 6:
-        cos_t = _cos_theta_from_records(pos, v[..., 3:6])
+        if k_record is not None:
+            cos_t = cos_theta_signed(jnp.asarray(k_record, jnp.float32),
+                                     v[..., 3:6])
+        else:
+            cos_t = _cos_theta_from_records(pos, v[..., 3:6])
     return LosSamples(ne=ne, te=te, b=b, ds=ds, valid_mask=valid, s=s,
                       cos_theta=cos_t)
 
 
+def cos_theta_signed(kvec, bv):
+    """Signed cos(theta) between the sampled B vector and the INSTANTANEOUS
+    wave vector at the record step (trace_rays(record_k=True)). This is the
+    same definition the Pallas kernel evaluates in-kernel (record row 7,
+    ops/pallas_trace.py), so theta_mode='los' is backend-independent. Zero
+    B or zero k give cos = 0 -> the theta = 90 fallback (Parms[4], ref
+    resample_with_ray_tracing.py:489-501)."""
+    num = jnp.sum(bv * kvec, axis=-1)
+    den = (jnp.sqrt(jnp.sum(bv * bv, axis=-1))
+           * jnp.sqrt(jnp.sum(kvec * kvec, axis=-1)))
+    return jnp.clip(num / jnp.maximum(den, 1e-30), -1.0, 1.0)
+
+
 def _cos_theta_from_records(pos, bv):
-    """Signed cos(theta) between the sampled B vector and the local ray
-    direction (finite difference of record positions; the last record
-    reuses the previous direction). Zero-length segments or zero B give
+    """Finite-difference fallback when no wave vectors exist: signed
+    cos(theta) between the sampled B vector and the record-to-record
+    direction (the last record reuses the previous direction). Only used
+    for reference-style position-only records (sample_model_with_rays
+    without k_record); the pipelines pass true wave vectors, which differ
+    by O(curvature over a record stride) near turning points — enough to
+    matter under gyroresonance. Zero-length segments or zero B give
     cos = 0 -> the theta = 90 fallback of the Parms[4] contract."""
     if pos.shape[0] > 1:
         d = pos[1:] - pos[:-1]

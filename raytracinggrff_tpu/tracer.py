@@ -49,6 +49,11 @@ class TraceResult(NamedTuple):
     r_record: jax.Array      # (n_records, n_rays, 3) recorded positions
     s_record: jax.Array      # (n_records, n_rays) cross-section ratios
     final_state: jax.Array   # (n_rays, 6) final [r, k] (for diagnostics)
+    k_record: jax.Array | None = None  # (n_records, n_rays, 3) wave vectors
+    # (record_k=True): the INSTANTANEOUS k at each record step, the same
+    # quantity the Pallas kernel uses for its in-kernel cos(theta) record
+    # (ops/pallas_trace.py record row 7) — theta_mode='los' consumers must
+    # use this, not position finite differences, so both backends agree
 
 
 def gradient_cubes(cube, grid: UniformGrid):
@@ -183,7 +188,7 @@ def init_k_vectors(table, grid: UniformGrid, freq_hz, start, kdir):
 @functools.partial(
     jax.jit,
     static_argnames=("grid", "n_steps", "record_stride", "trace_crosssections",
-                     "s_mode", "first_block"),
+                     "s_mode", "first_block", "record_k"),
 )
 def trace_rays(
     table,
@@ -199,6 +204,7 @@ def trace_rays(
     s_mode: str = "cumulative",
     first_block: int = 1,
     k_init=None,
+    record_k: bool = False,
 ) -> TraceResult:
     """Trace all rays for n_steps; record every record_stride steps.
 
@@ -249,28 +255,36 @@ def trace_rays(
     cum_s = seg_acc  # record-0 cumulative S (previous_cs = 1.0)
     rec0_s = cum_s if s_mode == "cumulative" else seg_last
     rec0_r = r.T
+    rec0_k = k.T
 
     def scan_body(carry, _):
         r, k, cum_s = carry
         r, k, seg_acc, seg_last = do_steps((r, k, None, None), record_stride)
         cum_s = cum_s * seg_acc
         rec_s = cum_s if s_mode == "cumulative" else seg_last
-        return (r, k, cum_s), (r.T, rec_s)
+        out = (r.T, rec_s) + ((k.T,) if record_k else ())
+        return (r, k, cum_s), out
 
+    k_record = None
     if n_records > 1:
-        (r, k, _), (rs, ss) = jax.lax.scan(
+        (r, k, _), outs = jax.lax.scan(
             scan_body, (r, k, cum_s), None, length=n_records - 1)
+        rs, ss = outs[0], outs[1]
         r_record = jnp.concatenate([rec0_r[None], rs], axis=0)
         s_record = jnp.concatenate([rec0_s[None], ss], axis=0)
+        if record_k:
+            k_record = jnp.concatenate([rec0_k[None], outs[2]], axis=0)
     else:
         r_record = rec0_r[None]
         s_record = rec0_s[None]
+        if record_k:
+            k_record = rec0_k[None]
 
     if not trace_crosssections:
         s_record = jnp.ones_like(s_record)
 
     final_state = jnp.concatenate([r.T, k.T], axis=1)
-    return TraceResult(r_record, s_record, final_state)
+    return TraceResult(r_record, s_record, final_state, k_record)
 
 
 def trace_rays_from_cube(omega_pe_cube, x_grid, y_grid, z_grid, freq_hz,

@@ -1038,9 +1038,11 @@ def _trace_tail_chunk(trace_table, model_table, grid, st, rem, fills, dt,
         k = pre.final_state[:, 3:6]
         cums = cums * pre.s_record[-1]
     n_steps = 1 + (horizon - 1) * stride
+    theta_los = model_table.shape[-1] >= 6
     res = trace_rays(trace_table, grid, 0.0, pos, jnp.zeros_like(k), dt,
                      n_steps, stride, trace_crosssections, perturb_ratio,
-                     "cumulative", first_block=1, k_init=k)
+                     "cumulative", first_block=1, k_init=k,
+                     record_k=theta_los)
     r_rec = res.r_record                               # (H, m, 3)
     s_rec = res.s_record * cums[None, :]               # cumS continuation
 
@@ -1055,13 +1057,13 @@ def _trace_tail_chunk(trace_table, model_table, grid, st, rem, fills, dt,
     live = (jnp.arange(r_rec.shape[0], dtype=jnp.int32)[:, None]
             < rem[None, :])
     s_rec = jnp.where(live, s_rec, 0.0)
-    if v.shape[-1] >= 6:
+    if theta_los:
         # signed cos(theta) between the sampled B vector (fields 3:6) and
-        # the finite-diff propagation direction — the ONE implementation
-        # shared with the XLA sampling path, so both paths agree on the
-        # single-record theta=90 fallback (ref Parms[4] contract)
-        from .sampler import _cos_theta_from_records
-        cos_t = _cos_theta_from_records(r_rec, v[..., 3:6])
+        # the INSTANTANEOUS wave vector at the record — the same definition
+        # the fused kernel records in row 7 and the XLA pipeline uses, so a
+        # tailed ray's theta stays consistent with its fast-path records
+        from .sampler import cos_theta_signed
+        cos_t = cos_theta_signed(res.k_record, v[..., 3:6])
     else:
         cos_t = jnp.zeros_like(s_rec)
     return jnp.concatenate([

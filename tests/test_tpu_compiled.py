@@ -189,14 +189,33 @@ def test_compiled_mechanism_sweep_map():
     b = r_pal["emission_cube"]
     lit = (a > 1e4) & (b > 1e4)
     assert lit.sum() > 80
-    np.testing.assert_allclose(b[lit], a[lit], rtol=2e-2)
     # GR must matter: the same scene with mechanism=1+4 differs
     r_ff = run_ray_tracing_emission(
         cubes=cubes, verbose=False,
         config=RayEmissionConfig(tracer_backend="xla",
                                  **{**common, "mechanism": 1 + 4}))
-    assert np.max(np.abs(r_ff["emission_cube"][lit] - a[lit])
-                  / np.maximum(a[lit], 1.0)) > 1e-3
+    gr_effect = (np.abs(r_ff["emission_cube"][lit] - a[lit])
+                 / np.maximum(a[lit], 1.0))
+    assert gr_effect.max() > 1e-3
+    # Parity tolerance is classified by GR sensitivity. The transfer math
+    # itself is backend-identical: in interpret mode this exact scene
+    # agrees to 6e-5 across ALL pixels (incl. GR layers). What remains on
+    # hardware is the compiled kernel's f32/MXU arithmetic vs XLA:TPU —
+    # positions agree only to ~2e-4 (the pinned tolerance of
+    # test_compiled_kernel_matches_xla) — and a gyroresonance layer
+    # amplifies a dB/B of 1e-4-class jitter by d(ln kappa)/d(ln B) ~
+    # 2*x^2 ~ s/beta_th ~ O(10^2) at layer-edge voxels, so a handful of
+    # layer-grazing pixels legitimately move by up to ~13%. Free-free
+    # opacity has no such resonance, so GR-insensitive pixels must match
+    # at the same 5e-3 as test_compiled_streamed_emission_map.
+    rel = np.abs(b[lit] - a[lit]) / a[lit]
+    ff_dom = gr_effect < 1e-3
+    assert ff_dom.sum() > 40 and (~ff_dom).sum() > 40
+    np.testing.assert_allclose(b[lit][ff_dom], a[lit][ff_dom], rtol=5e-3)
+    assert np.median(rel[~ff_dom]) < 2e-2
+    assert rel[~ff_dom].max() < 0.25
+    # every >2% outlier must be a GR-affected pixel
+    assert np.all(gr_effect[rel > 2e-2] > 1e-3)
 
 
 def test_compiled_theta_los_map():
