@@ -134,3 +134,40 @@ def test_energy_conservation_refraction():
     omega_end = np.sqrt(float(wpe[0]) ** 2 + np.sum(kvec ** 2))
     # kc0 at start: sqrt(omega0^2 - wpe(start)^2); omega stays omega0
     np.testing.assert_allclose(omega_end / omega0, 1.0, rtol=5e-3)
+
+
+def test_record_k_wave_vectors():
+    """record_k=True returns the instantaneous wave vector at each record
+    (the quantity theta_mode='los' consumes): in vacuum k is constant and
+    equal to k0 = omega0 * k_dir at every record; in a refracting scene the
+    last k record equals final_state's k (the tracer stops at the last
+    record step)."""
+    n, extent = 33, 2.0
+    grid = UniformGrid.cube(extent, n)
+    freq = 80e6
+    omega0 = 2 * np.pi * freq
+
+    vac = jnp.zeros((n, n, n), jnp.float32)
+    table = pack_trace_table(vac, grid)
+    start = np.array([[1.5, 0.2, 0.1]], np.float32)
+    kdir = np.array([[-1.0, 0.0, 0.0]], np.float32)
+    res = trace_rays(table, grid, freq, start, kdir, 1e-3, 40, 10,
+                     record_k=True)
+    k_rec = np.asarray(res.k_record)
+    assert k_rec.shape == (4, 1, 3)
+    np.testing.assert_allclose(
+        k_rec, np.broadcast_to(omega0 * kdir, k_rec.shape), rtol=1e-6)
+
+    xs, ys, zs = grid.axes()
+    x, y, z = np.meshgrid(xs, ys, zs, indexing="ij")
+    r = np.sqrt(x**2 + y**2 + z**2)
+    cube = (0.8 * omega0 * np.exp(-(r - 1.0) / 0.5)).astype(np.float32)
+    table = pack_trace_table(jnp.asarray(cube), grid)
+    res = trace_rays(table, grid, freq, start, kdir, 1e-3, 200, 10,
+                     trace_crosssections=True, record_k=True)
+    np.testing.assert_allclose(np.asarray(res.k_record)[-1],
+                               np.asarray(res.final_state)[:, 3:6],
+                               rtol=1e-6)
+    # default stays None (no extra record memory unless asked)
+    res0 = trace_rays(table, grid, freq, start, kdir, 1e-3, 40, 10)
+    assert res0.k_record is None
