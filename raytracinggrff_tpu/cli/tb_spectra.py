@@ -88,9 +88,10 @@ def quantize_params(p, seg_records=25):
     record_stride continuously in log-frequency (TbSpectra_gen.py:56-70),
     which on TPU makes every high-band frequency a unique cube (fresh
     resample) and a unique kernel variant (fresh XLA/Mosaic compile).
-    Measured on the 30-frequency production sweep, the raw presets need
-    15 distinct cubes and 19 kernel variants; this lattice holds them to
-    ~9 cubes / 4 shapes / ~6 kernel variants. Every adjustment only ever
+    The raw presets need 15 distinct cubes and 19 kernel variants; this
+    lattice held them to 9 cube resamples / 4 shapes / 7 (shape, stride)
+    kernel variants in the executed 30-frequency production sweep on
+    hardware (SWEEP_r04.md). Every adjustment only ever
     grants MORE resolution, steps, or records than the preset asked for:
 
     * grid_extent rounds UP to a multiple of 0.25 R_sun.
@@ -201,14 +202,22 @@ def main(argv=None):
     cube_cache = {}
     manifest_rows = []
     for i, freq_hz in enumerate(freqs_hz):
+        tag = f"{i:02d}_{freq_hz/1e6:08.3f}MHz"
+        npz_path = out_dir / f"raytrace_{tag}.npz"
+        png_path = out_dir / f"Tb_map_{tag}.png"
         if i < args.start_from_idx:
+            # a resumed sweep still writes a COMPLETE manifest: frequencies
+            # below the resume point contribute their existing outputs (the
+            # reference rebuilds the manifest from the resumed rows only,
+            # TbSpectra_gen.py:139-141,194-198 — an improvement, not parity)
+            if npz_path.exists() and png_path.exists():
+                manifest_rows.append(
+                    {"idx": i, "freq_hz": float(freq_hz),
+                     "npz": str(npz_path), "png": str(png_path)})
             continue
         p = select_params(float(freq_hz))
         if not args.exact_presets:
             p = quantize_params(p)
-        tag = f"{i:02d}_{freq_hz/1e6:08.3f}MHz"
-        npz_path = out_dir / f"raytrace_{tag}.npz"
-        png_path = out_dir / f"Tb_map_{tag}.png"
 
         if not args.plot_only:
             if not args.quiet:

@@ -256,16 +256,49 @@ def load_mas_var(model: MASModel, var_name: str) -> MASVariable:
 import functools as _functools
 
 
-@_functools.partial(_jax.jit, static_argnames=("grid", "fill"))
+@_functools.partial(_jax.jit, static_argnames=("grid", "fill", "chunk"))
 def _resample_cube_jit(data, phi, theta, r_ax, grid: UniformGrid,
-                       phi0_offset_deg, fill):
-    x, y, z = grid.meshgrid()
-    r, colat, lon = image_xyz_to_mas_sph(x, y, z, phi0_offset_deg)
-    vals = _interp_sph(data, phi, theta, r_ax, r, colat, lon)
-    vals = jnp.where(r >= R_MIN, vals, jnp.nan)
-    if fill:
-        vals = jnp.where(jnp.isfinite(vals), vals, jnp.float32(fill[0]))
-    return vals
+                       phi0_offset_deg, fill, chunk=16):
+    """Resample one MAS variable onto the cube, streamed in x-slabs.
+
+    The one-shot version materialized ~20 cube-sized intermediates at once
+    (meshgrid + spherical coords + axis indices/fractions + 8 corner
+    gathers + lerp chain), i.e. ~15 GB at 576^3 — measured RESOURCE_
+    EXHAUSTED on the 16 GB chip at the TbSpectra sweep's 714 MHz frame
+    (the 4th resample failed with just three result cubes resident). The
+    fori_loop bounds transients to ~20 slab-sized buffers (~0.4 GB at
+    chunk=16 and 576^2) and XLA updates the carried output in place; when
+    nx % chunk != 0 the last slab's start is clamped and the overlap rows
+    are rewritten with identical values."""
+    nx, ny, nz = grid.shape
+    xs_h, ys_h, zs_h = grid.axes()
+    xs = jnp.asarray(xs_h, jnp.float32)
+    ys = jnp.asarray(ys_h, jnp.float32)
+    zs = jnp.asarray(zs_h, jnp.float32)
+    ck = min(chunk, nx)
+    n_chunks = -(-nx // ck)
+    out = jnp.zeros((nx, ny, nz), jnp.float32)
+
+    def body(i, out):
+        x0 = jnp.minimum(i * ck, nx - ck)
+        xsl = _jax.lax.dynamic_slice(xs, (x0,), (ck,))
+        shape = (ck, ny, nz)
+        x = jnp.broadcast_to(xsl[:, None, None], shape)
+        y = jnp.broadcast_to(ys[None, :, None], shape)
+        z = jnp.broadcast_to(zs[None, None, :], shape)
+        r, colat, lon = image_xyz_to_mas_sph(x, y, z, phi0_offset_deg)
+        vals = _interp_sph(data, phi, theta, r_ax,
+                           jnp.broadcast_to(r, shape),
+                           jnp.broadcast_to(colat, shape),
+                           jnp.broadcast_to(lon, shape))
+        vals = jnp.where(r >= R_MIN, vals, jnp.nan)
+        if fill:
+            vals = jnp.where(jnp.isfinite(vals), vals,
+                             jnp.float32(fill[0]))
+        return _jax.lax.dynamic_update_slice(
+            out, vals.astype(jnp.float32), (x0, 0, 0))
+
+    return _jax.lax.fori_loop(0, n_chunks, body, out)
 
 
 def resample_var_to_cube(var: MASVariable, grid: UniformGrid,

@@ -703,3 +703,89 @@ def pack_cube_zc(*channels, nch=NCH):
     if nx_pad != nx:
         out = jnp.pad(out, ((0, 0), (0, 0), (0, nx_pad - nx)))
     return out
+
+
+def _pack_chunks_zc(chunk_channels, nx, ny, nz, nch, chunk):
+    """Stream (nx, ck, nz, nch) y-chunks from `chunk_channels(y0, ck)` into
+    the (ny, nz*nch, nx_pad) kernel layout with one fori_loop carrying the
+    output buffer (XLA updates it in place). When ny % ck != 0 the last
+    chunk's start is clamped to ny - ck and the overlapping rows are
+    rewritten with identical values."""
+    nx_pad = -(-nx // 128) * 128
+    ck = min(chunk, ny)
+    n_chunks = -(-ny // ck)
+    out = jnp.zeros((ny, nz * nch, nx_pad), jnp.float32)
+
+    def body(i, out):
+        y0 = jnp.minimum(i * ck, ny - ck)
+        st = chunk_channels(y0, ck)                  # (nx, ck, nz, nch)
+        blk = jnp.transpose(st, (1, 2, 3, 0)).reshape(ck, nz * nch, nx)
+        if nx_pad != nx:
+            blk = jnp.pad(blk, ((0, 0), (0, 0), (0, nx_pad - nx)))
+        return jax.lax.dynamic_update_slice(out, blk, (y0, 0, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "chunk"))
+def pack_trace_cube_zc(omega_pe_cube, grid: UniformGrid, chunk=8):
+    """omega_pe + its central-difference gradients packed straight into the
+    (ny, nz*NCH, nx_pad) kernel layout, streamed in y-chunks.
+
+    Functionally pack_cube_zc(wpe, *gradient_cubes(wpe, grid)) (the
+    np.gradient parity contract, ref build_rays.py:136-138), but with a
+    bounded transient footprint: the fused one-jit setup graph
+    materializes three gradient cubes plus stack/transpose copies — ~5
+    extra cube-sized buffers — which OOMed the 16 GB chip at 576^3 with
+    the scene cubes resident (the TbSpectra sweep's 714 MHz frame). Here
+    the only full-size allocations are one edge-extrapolated copy of the
+    input and the packed output; per-chunk transients are ~chunk/ny of a
+    cube. The linear edge extrapolation (f[-1] := 2 f[0] - f[1]) makes
+    the central difference at a boundary node equal np.gradient's
+    one-sided difference there.
+    """
+    cube = jnp.asarray(omega_pe_cube, jnp.float32)
+    nx, ny, nz = cube.shape
+
+    def pad_axis(f, ax):
+        first = (2.0 * jax.lax.index_in_dim(f, 0, ax)
+                 - jax.lax.index_in_dim(f, 1, ax))
+        last = (2.0 * jax.lax.index_in_dim(f, f.shape[ax] - 1, ax)
+                - jax.lax.index_in_dim(f, f.shape[ax] - 2, ax))
+        return jnp.concatenate([first, f, last], axis=ax)
+
+    cpad = pad_axis(pad_axis(pad_axis(cube, 0), 1), 2)
+    hx = jnp.float32(2.0 * grid.dx)
+    hy = jnp.float32(2.0 * grid.dy)
+    hz = jnp.float32(2.0 * grid.dz)
+
+    def chunk_channels(y0, ck):
+        slab = jax.lax.dynamic_slice(cpad, (0, y0, 0),
+                                     (nx + 2, ck + 2, nz + 2))
+        w = slab[1:-1, 1:-1, 1:-1]
+        gx = (slab[2:, 1:-1, 1:-1] - slab[:-2, 1:-1, 1:-1]) / hx
+        gy = (slab[1:-1, 2:, 1:-1] - slab[1:-1, :-2, 1:-1]) / hy
+        gz = (slab[1:-1, 1:-1, 2:] - slab[1:-1, 1:-1, :-2]) / hz
+        return jnp.stack([w, gx, gy, gz], axis=-1)
+
+    return _pack_chunks_zc(chunk_channels, nx, ny, nz, NCH, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("nch", "chunk"))
+def pack_sample_cube_zc(*channels, nch=NCH, chunk=8):
+    """pack_cube_zc with a bounded transient footprint (see
+    pack_trace_cube_zc): a pure relayout streamed in y-chunks, so the only
+    full-size allocation beyond the inputs is the packed output."""
+    cubes = [jnp.asarray(c, jnp.float32) for c in channels]
+    if len(cubes) > nch:
+        raise ValueError(f"{len(cubes)} channels > nch={nch}")
+    nx, ny, nz = cubes[0].shape
+    n_real = len(cubes)
+
+    def chunk_channels(y0, ck):
+        slabs = [jax.lax.dynamic_slice(c, (0, y0, 0), (nx, ck, nz))
+                 for c in cubes]
+        slabs += [jnp.zeros_like(slabs[0])] * (nch - n_real)
+        return jnp.stack(slabs, axis=-1)
+
+    return _pack_chunks_zc(chunk_channels, nx, ny, nz, nch, chunk)

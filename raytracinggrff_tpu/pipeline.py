@@ -114,13 +114,24 @@ def prepare_cubes(model: MASModel, grid: UniformGrid, phi0_offset_deg=0.0,
 
     log(f"Resampling rho/{temp_var}/br/bt/bp -> cubes "
         f"({grid.nx}^3, phi0={phi0_offset_deg})...")
-    raw = [resample_var_to_cube(model[v], grid, phi0_offset_deg,
-                                fill_nan=None)
-           for v in ("rho", temp_var, "br", "bt", "bp")]
-    omega_pe, ne, te, b = _finalize_cubes(*raw)
+    # block after every stage: JAX dispatch is async and PJRT reserves a
+    # program's output + temp buffers at ENQUEUE time, so without a sync
+    # the host runs ahead and the five resample programs' multi-GB
+    # transients (meshgrid + spherical coords + corner gathers at 576^3)
+    # overlap each other and the finalize/pack programs — measured OOM on
+    # the 16 GB chip at the TbSpectra sweep's 576^3 group even though each
+    # stage fits comfortably when serialized. Cost: one tunnel round-trip
+    # per cube (~ms), once per scene.
+    raw = []
+    for v in ("rho", temp_var, "br", "bt", "bp"):
+        c = resample_var_to_cube(model[v], grid, phi0_offset_deg,
+                                 fill_nan=None)
+        raw.append(jax.block_until_ready(c))
+    omega_pe, ne, te, b = jax.block_until_ready(_finalize_cubes(*raw))
     cubes = {"omega_pe": omega_pe, "ne": ne, "te": te, "b": b}
     if keep_bvec:
-        cubes["bvec"] = _bvec_image_cubes(raw[2], raw[3], raw[4], grid)
+        cubes["bvec"] = jax.block_until_ready(
+            _bvec_image_cubes(raw[2], raw[3], raw[4], grid))
     return cubes
 
 

@@ -74,33 +74,43 @@ import jax.numpy as jnp
 
 from .grids import UniformGrid
 from .ops.pallas_trace import (BX, BY, BZ, CHECK_EVERY, PallasSegmentResult,
-                               grid_param_vec, pack_cube_zc,
-                               run_trace_segment)
+                               grid_param_vec, pack_sample_cube_zc,
+                               pack_trace_cube_zc, run_trace_segment)
 from .ops.trilinear import pack_fields, trilinear_packed
-from .tracer import gradient_cubes, init_k_vectors, pack_trace_table, \
-    trace_rays
+from .tracer import init_k_vectors, pack_trace_table, trace_rays
 from .constants import C_R, FILL_B, FILL_NE, FILL_TE
 
 
 @functools.partial(jax.jit, static_argnames=("grid",))
+def _init_k0(omega_pe_cube, grid, freq_hz, start, kdir):
+    """kc0 init sampling omega_pe directly from the raw cube (the reshape
+    to a (N, 1) gather table is a free bitcast inside the jit)."""
+    return init_k_vectors(omega_pe_cube.reshape(-1, 1), grid, freq_hz,
+                          start, kdir)
+
+
 def _prepare_trace_inputs(omega_pe_cube, ne_cube, te_cube, b_cube, grid,
                           start, kdir, freq_hz, bvec=None):
-    """One jitted setup graph: gradient cubes, fused-layout packing, kc0
-    init. (Eager per-op dispatch through the TPU tunnel costs seconds per
-    op; this was ~2.5 min of setup when run eagerly.)
+    """Kernel-layout packing + kc0 init as three jitted device programs
+    (a handful of dispatches — eager per-op dispatch through the TPU
+    tunnel costs seconds per op; this was ~2.5 min of setup when run
+    eagerly). Deliberately NOT one fused graph: the fused version's
+    transient peak (three gradient cubes + stack/transpose copies live at
+    once) OOMed the 16 GB chip at 576^3 with the scene cubes resident;
+    the staged packers stream y-chunks and bound the peak to roughly
+    input cubes + the two packed outputs (see ops.pallas_trace.
+    pack_trace_cube_zc).
 
     `bvec` (optional (bx, by, bz) image-frame Cartesian B cubes) widens the
     sample cube to 8 channels so the kernel can record cos(theta) between B
     and the local wave vector (theta_mode='los')."""
-    gx, gy, gz = gradient_cubes(omega_pe_cube, grid)
-    tcube = pack_cube_zc(omega_pe_cube, gx, gy, gz)
+    tcube = pack_trace_cube_zc(omega_pe_cube, grid)
     if bvec is None:
-        scube = pack_cube_zc(ne_cube, te_cube, b_cube)
+        scube = pack_sample_cube_zc(ne_cube, te_cube, b_cube)
     else:
-        scube = pack_cube_zc(ne_cube, te_cube, b_cube,
-                             bvec[0], bvec[1], bvec[2], nch=8)
-    wpe_table = pack_fields(omega_pe_cube)
-    k0 = init_k_vectors(wpe_table, grid, freq_hz, start, kdir)
+        scube = pack_sample_cube_zc(ne_cube, te_cube, b_cube,
+                                    bvec[0], bvec[1], bvec[2], nch=8)
+    k0 = _init_k0(omega_pe_cube, grid, freq_hz, start, kdir)
     return tcube, scube, k0
 
 

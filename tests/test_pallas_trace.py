@@ -125,3 +125,34 @@ def test_record_schedule_matches_reference():
     for j, steps in enumerate([1, 11, 21]):
         np.testing.assert_allclose(
             res.r_record[j, 0, 0], 1.9 - C_R * 1e-2 * steps, rtol=1e-5)
+
+
+def test_streamed_packers_match_fused():
+    """The bounded-memory y-chunked packers (the 576^3 HBM-OOM fix) must
+    reproduce pack_cube_zc + gradient_cubes: interior central differences
+    bit-exactly, boundary one-sided differences to float32 rounding (the
+    linear edge extrapolation computes (2f1-2f0)/(2h) instead of
+    (f1-f0)/h). Odd shapes exercise the clamped-overlap last chunk and
+    the 128-lane x padding."""
+    from raytracinggrff_tpu.ops.pallas_trace import (
+        pack_cube_zc, pack_sample_cube_zc, pack_trace_cube_zc)
+    from raytracinggrff_tpu.tracer import gradient_cubes
+
+    rng = np.random.default_rng(7)
+    nx, ny, nz = 33, 21, 17            # ny % chunk != 0, nx % 128 != 0
+    grid = UniformGrid(x0=-1.0, y0=-1.2, z0=-0.8,
+                       dx=0.0625, dy=0.125, dz=0.1, nx=nx, ny=ny, nz=nz)
+    wpe = rng.uniform(0.0, 1e9, (nx, ny, nz)).astype(np.float32)
+    ref = pack_cube_zc(jnp.asarray(wpe), *gradient_cubes(wpe, grid))
+    out = pack_trace_cube_zc(jnp.asarray(wpe), grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-6, atol=1e-3)
+
+    ne, te, b = (rng.uniform(0, 1e6, (nx, ny, nz)).astype(np.float32)
+                 for _ in range(3))
+    np.testing.assert_array_equal(
+        np.asarray(pack_sample_cube_zc(ne, te, b)),
+        np.asarray(pack_cube_zc(ne, te, b)))
+    np.testing.assert_array_equal(
+        np.asarray(pack_sample_cube_zc(ne, te, b, b, ne, te, nch=8)),
+        np.asarray(pack_cube_zc(ne, te, b, b, ne, te, nch=8)))
