@@ -73,6 +73,12 @@ def main():
                    help="--pipeline: transfer frequencies per trace")
     args = p.parse_args()
     brick = tuple(int(v) for v in args.brick.split(","))
+    # Self-describing artifacts: non-canonical runs (512^2, XLA floor, ...)
+    # must carry their workload so BENCH_*.json files are comparable.
+    workload = {"n_pix": args.n_pix, "n_steps": args.n_steps,
+                "grid_n": args.grid_n, "record_stride": args.record_stride,
+                "freq_hz": args.freq, "tracer": args.tracer,
+                "crosssections": not args.no_crosssections}
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -138,6 +144,7 @@ def main():
             "vs_baseline": round(8.0 / (median / args.nfreq), 3),
             "times_s": [round(t, 2) for t in times],
             "warmup_s": round(warmup_s, 1),
+            "workload": dict(workload, nfreq=args.nfreq),
         }))
         return
 
@@ -222,6 +229,7 @@ def main():
         "vs_baseline": round(rate / BASELINE_RATE, 3),
         "times_s": [round(t, 2) for t in times],
         "warmup_s": round(warmup_s, 1),
+        "workload": workload,
     }))
 
 
