@@ -2,12 +2,21 @@
 
 Reference contract (raytracingGRFF/util.py:6-77): each NaN pixel becomes the
 mean of the nearest finite pixel in the four axis directions (omitting
-directions with none); up to 10 passes.
+directions with none); up to 10 passes; passes stop early once nothing is
+NaN or nothing could be fixed.
 
-TPU-first rewrite: instead of the reference's per-pixel Python loops, each
-pass computes the four nearest-finite neighbor maps with vectorized prefix
-scans (lax.associative_scan-style carry implemented as cumulative masking) and
-updates every NaN pixel at once. Same fixpoint semantics.
+IMPORTANT ordering semantics (verified A/B against the actual reference in
+tests/test_reference_parity.py): the reference patches pixels **in place, in
+row-major order within a pass**, so a pixel fixed earlier in a pass feeds the
+directional searches of later pixels in the *same* pass. For a row
+[1, nan, nan, 4] this yields [1, 2.5, 3.25, 4] (the second NaN sees the
+freshly patched 2.5 as its left neighbor), not [1, 2.5, 2.5, 4].
+`patch_nan_emission_map` reproduces that exactly.
+
+A vectorized simultaneous-update variant (`patch_nan_emission_map_sim`) is
+kept for very large maps / in-jit use; it satisfies the same directional-mean
+contract but updates all NaNs of a pass at once, so values inside wide NaN
+blobs can differ from the reference (documented, tested).
 """
 
 from __future__ import annotations
@@ -16,6 +25,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _patch_2d_seq(a: np.ndarray, max_passes: int = 10) -> None:
+    """Sequential in-place passes with reference-exact propagation order."""
+    ny, nx = a.shape
+    for _ in range(max_passes):
+        bad = np.argwhere(~np.isfinite(a))      # row-major order
+        if bad.size == 0:
+            return
+        fixed = 0
+        for i, j in bad:
+            vals = []
+            row = a[i]
+            col = a[:, j]
+            left = np.flatnonzero(np.isfinite(row[:j]))
+            if left.size:
+                vals.append(row[left[-1]])
+            right = np.flatnonzero(np.isfinite(row[j + 1:]))
+            if right.size:
+                vals.append(row[j + 1 + right[0]])
+            down = np.flatnonzero(np.isfinite(col[:i]))
+            if down.size:
+                vals.append(col[down[-1]])
+            up = np.flatnonzero(np.isfinite(col[i + 1:]))
+            if up.size:
+                vals.append(col[i + 1 + up[0]])
+            if vals:
+                a[i, j] = np.mean(vals)
+                fixed += 1
+        if fixed == 0:
+            return
+
+
+def patch_nan_emission_map(emission, inplace: bool = False):
+    """Patch NaN pixels of a 2D (ny, nx) or 3D (ny, nx, nf) map.
+
+    Reference-exact (raytracingGRFF/util.py:6-77) including the sequential
+    in-pass propagation order; see module docstring.
+    """
+    out = (emission if inplace and isinstance(emission, np.ndarray)
+           else np.array(emission, dtype=np.float64, copy=True))
+    if out.ndim == 2:
+        _patch_2d_seq(out)
+    elif out.ndim == 3:
+        for k in range(out.shape[2]):
+            _patch_2d_seq(out[:, :, k])
+    else:
+        raise ValueError("emission must be 2D or 3D")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vectorized simultaneous-update variant (kept for large maps / in-jit use).
+# ---------------------------------------------------------------------------
 
 def _nearest_finite_along_axis(a, finite, axis, reverse):
     """For each position, value of the nearest finite element strictly before
@@ -56,8 +118,14 @@ def _patch_2d(a, max_passes=10):
     return jax.lax.fori_loop(0, max_passes, body, a)
 
 
-def patch_nan_emission_map(emission, inplace: bool = False):
-    """Patch NaN pixels of a 2D (ny, nx) or 3D (ny, nx, nf) map."""
+def patch_nan_emission_map_sim(emission, inplace: bool = False):
+    """Simultaneous-update NaN patch (all NaNs of a pass at once).
+
+    Same directional-mean contract as patch_nan_emission_map but without the
+    reference's in-pass sequential propagation — isolated NaNs (no NaN
+    neighbor in any direction) match the reference exactly; interior values
+    of wide NaN blobs can differ. Prefer this only for maps large enough
+    that the sequential host loop matters."""
     arr = np.array(emission, dtype=np.float64, copy=True)
     if arr.ndim == 2:
         out = np.asarray(_patch_2d(jnp.asarray(arr)))

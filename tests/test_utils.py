@@ -54,13 +54,12 @@ def test_nan_patch_matches_reference_contract():
     a[0, 0] = np.nan   # corner
     out = patch_nan_emission_map(a)
     ref = _reference_patch_2d(a)
-    # single NaNs agree exactly; adjacent-NaN clusters may differ in pass
-    # ordering (reference updates in place row-major) — compare the
-    # isolated ones exactly and require all-finite everywhere
+    # exact: the patcher reproduces the reference's sequential in-pass
+    # propagation order (adjacent NaNs feed on freshly patched values);
+    # tests/test_reference_parity.py A/Bs the same thing against the
+    # actual /root/reference implementation
     assert np.all(np.isfinite(out))
-    # jax path computes in float32 (x32 default); reference is float64
-    np.testing.assert_allclose(out[3, 4], ref[3, 4], rtol=1e-6)
-    np.testing.assert_allclose(out[0, 0], ref[0, 0], rtol=1e-6)
+    np.testing.assert_array_equal(out, ref)
 
 
 def test_nan_patch_3d_and_inplace():
