@@ -23,6 +23,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <vector>
 
 namespace {
 
@@ -94,19 +95,34 @@ double gyro_kappa(double nu_p_sq, double nu_b_in, double te, double nu,
 }  // namespace
 
 extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
-                        const double* Parms, const double* /*T*/,
-                        const double* /*DEM*/, const double* /*DDM*/,
+                        const double* Parms, const double* T,
+                        const double* DEM, const double* /*DDM*/,
                         double* RL) {
   const int nz = Lparms[0];
   const int nf = Lparms[1];
   if (nz < 0 || nf <= 0) return 1;
-  // DEM/DDM transfer modes are NOT implemented. The reference always calls
-  // with Lparms[2..4] = 0 and dummy scalar T/DEM/DDM
-  // (script/synthetic_FF_map_single_thread.py:203-208); the real binary's
-  // Lparms[2] = NT (temperature nodes) with Lparms[3]/[4] the DEM/DDM
-  // on-keys. A caller handing real DEM data must get an error, not
-  // silently-ignored arrays (status 2, distinct from the bad-shape 1).
-  if (Lparms[2] > 0 || Lparms[3] != 0 || Lparms[4] != 0) return 2;
+  // DEM mode: Lparms[2] = NT >= 2 temperature nodes. T is the (NT,)
+  // ascending grid in K, DEM the column-major (NT, Nz) differential
+  // emission measure per voxel [cm^-5 K^-1, voxel path length folded into
+  // the column]: the free-free term integrates the kernel over the DEM
+  // (same moments as physics.dem_freefree_moments) while dispersion/
+  // evanescence still use Parms[2] n_e and neutral/gyro terms Parms[1] T.
+  // The reference always calls with Lparms[2..4] = 0 and dummy scalars
+  // (script/synthetic_FF_map_single_thread.py:203-208) -> uniform-T path.
+  // DDM mode (Lparms[4] != 0) stays unimplemented: status 2.
+  if (Lparms[4] != 0) return 2;
+  const int nt = Lparms[2];
+  const bool dem_mode = nt > 0;
+  if (dem_mode && nt < 2) return 1;
+  std::vector<double> wq;   // trapezoid weights over the T grid
+  if (dem_mode) {
+    for (int t = 1; t < nt; ++t)
+      if (!(T[t] > T[t - 1]) || !(T[t - 1] > 0.0)) return 1;
+    wq.resize(nt);
+    wq[0] = (T[1] - T[0]) / 2.0;
+    for (int t = 1; t < nt - 1; ++t) wq[t] = (T[t + 1] - T[t - 1]) / 2.0;
+    wq[nt - 1] = (T[nt - 1] - T[nt - 2]) / 2.0;
+  }
   const double area0 = Rparms[0];
   const double f0 = Rparms[1];
   const double dlog = Rparms[2];
@@ -146,7 +162,21 @@ extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
         nu_en = n_h * kSigmaEH * vmean;
       }
 
-      const double src_j = kKb * te * nu * nu / (kCcgs * kCcgs);
+      // DEM free-free kernel moments for this voxel (mode-independent;
+      // the magnetoionic 1/(n_sigma eff^2) factors out of the T integral)
+      double m_k = 0.0, t_eff = 0.0;
+      if (dem_mode && (mech & 1)) {
+        double m_j = 0.0;
+        const double* dem_col = DEM + static_cast<long>(nt) * k;
+        for (int t = 0; t < nt; ++t) {
+          const double g = coulomb_log(T[t], nu);
+          const double wd = wq[t] * dem_col[t] * g / (T[t] * std::sqrt(T[t]));
+          m_k += wd;
+          m_j += wd * T[t];
+        }
+        t_eff = m_j / (m_k > 1e-300 ? m_k : 1e-300);
+      }
+
       for (int m = 0; m < 2; ++m) {
         const double sigma = (m == 0) ? 1.0 : -1.0;
         const double n2 = refr_index_sq(X, Y, theta, sigma);
@@ -159,14 +189,27 @@ extern "C" int PyGET_MW(const int32_t* Lparms, const double* Rparms,
         const double n_sig = std::sqrt(n2 > 1e-12 ? n2 : 1e-12);
         const double eff = nu + sigma * nu_b * std::fabs(std::cos(theta));
         const double eff2 = eff * eff > 1e-30 ? eff * eff : 1e-30;
-        double kappa = 0.0;
+        double tau_ff = 0.0, tau_th = 0.0;
         if (mech & 1) {
-          kappa = kKappaFF * ne * ne * lnlam / (n_sig * eff2 * t32);
-          kappa += nu_p_sq / eff2 * nu_en / (kCcgs * n_sig);
+          if (dem_mode) {
+            tau_ff = kKappaFF * m_k / (n_sig * eff2);
+          } else {
+            tau_ff = kKappaFF * ne * ne * lnlam / (n_sig * eff2 * t32) * ds;
+          }
+          tau_th += nu_p_sq / eff2 * nu_en / (kCcgs * n_sig) * ds;
         }
         if (mech & 2)
-          kappa += gyro_kappa(nu_p_sq, nu_b, te, nu, theta, sigma, s_max);
-        const double tau = kappa * ds;
+          tau_th += gyro_kappa(nu_p_sq, nu_b, te, nu, theta, sigma, s_max)
+                    * ds;
+        const double tau = tau_ff + tau_th;
+        // source temperature: DEM T_eff for the DEM free-free term,
+        // Parms T for the single-temperature terms, opacity-weighted
+        const double t_src =
+            (dem_mode && (mech & 1))
+                ? (tau_ff * t_eff + tau_th * te) / (tau > 1e-300 ? tau
+                                                                 : 1e-300)
+                : te;
+        const double src_j = kKb * t_src * nu * nu / (kCcgs * kCcgs);
         const double att = std::exp(-tau);
         const double emit = -std::expm1(-tau);
         flux[m] = flux[m] * att +

@@ -49,9 +49,11 @@ def get_mw_native(lparms, rparms, parms, t=None, dem=None, ddm=None):
     """Call the native library with the GET_MW contract; returns RL (7, Nf).
 
     Same signature as grff.transfer.get_mw for easy cross-validation.
-    t/dem/ddm accept only the reference's dummy scalars — the library
-    returns status 2 (and this raises) for DEM/DDM-mode inputs, which are
-    not implemented (see native/grff_transfer.cpp)."""
+    DEM mode: set Lparms[2] = NT and pass t (NT,) ascending K grid and
+    dem (NT, Nz) column-major [cm^-5 K^-1] (see native/grff_transfer.cpp).
+    DDM-mode inputs (Lparms[4] != 0) return status 2 and raise — not
+    implemented. The reference's dummy scalars select the uniform-T
+    path."""
     fn = init_get_mw()
     lparms = np.asarray(lparms, np.int32)
     if lparms.size < 5:   # C side reads Lparms[0..4] (reference layout)
@@ -66,11 +68,21 @@ def get_mw_native(lparms, rparms, parms, t=None, dem=None, ddm=None):
     def farr(x):
         return np.asfortranarray(
             np.atleast_1d(np.asarray(0.0 if x is None else x, np.float64)))
-    res = fn(lparms, rparms, parms, farr(t), farr(dem), farr(ddm), rl)
+    t_a, dem_a, ddm_a = farr(t), farr(dem), farr(ddm)
+    nt = int(lparms[2]) if lparms.size > 2 else 0
+    if nt > 0:
+        # the C side cannot know array lengths; guard the ABI here
+        nz = int(lparms[0])
+        if t_a.size != nt or dem_a.size != nt * nz:
+            raise ValueError(
+                f"DEM mode (Lparms[2]={nt}) needs T with {nt} entries and "
+                f"DEM with NT*Nz={nt * nz} (column-major), got "
+                f"{t_a.size}/{dem_a.size}")
+    res = fn(lparms, rparms, parms, t_a, dem_a, ddm_a, rl)
     if res == 2:
         raise NotImplementedError(
-            "PyGET_MW status 2: DEM/DDM transfer modes (Lparms[2..4] != 0) "
-            "are not implemented")
+            "PyGET_MW status 2: DDM transfer mode (Lparms[4] != 0) is "
+            "not implemented")
     if res != 0:
         raise RuntimeError(f"PyGET_MW returned status {res}")
     return rl

@@ -189,6 +189,55 @@ def gyroresonance_kappa(ne, te, b, nu, theta_rad, sigma, s_max=30, xp=jnp):
     return pref * total
 
 
+def trapezoid_weights(t_grid, xp=_np):
+    """Trapezoid quadrature weights for a (possibly nonuniform) ascending
+    1-D grid: w_0=(T1-T0)/2, w_j=(T_{j+1}-T_{j-1})/2, w_last symmetric."""
+    dt = t_grid[1:] - t_grid[:-1]
+    w = xp.concatenate([dt[:1] / 2.0,
+                        (dt[1:] + dt[:-1]) / 2.0,
+                        dt[-1:] / 2.0])
+    return w
+
+
+def dem_freefree_moments(t_grid, dem, nu, xp=jnp, gaunt="dulk"):
+    """Free-free kernel moments of a per-voxel DEM(T) distribution.
+
+    The single-temperature opacity kappa = coef * ne*ni * g(T,nu)
+    / (n_sigma eff_nu^2 T^{3/2}) generalizes under a differential emission
+    measure DEM(T) = d(ne^2 dl)/dT [cm^-5 K^-1] per voxel (the DEM-mode
+    contract of the real GRFF_DEM_Transfer ABI, Fleishman, Kuznetsov &
+    Landi 2021: the voxel's path length lives inside the DEM column, so
+    kappa*ds is replaced by the T-integral) to
+
+        tau_sigma = coef / (n_sigma eff_nu^2) * M_k(nu)
+        M_k(nu)   = int DEM(T) g(T, nu) T^{-3/2} dT          (trapezoid)
+
+    and the emission integral has one extra power of T, giving a
+    mode-independent effective source temperature
+
+        T_eff(nu) = int DEM g T^{-1/2} dT / M_k(nu).
+
+    t_grid: (NT,) K ascending; dem: (NT, Nz) cm^-5 K^-1; nu: (Nf,) Hz.
+    Returns (m_k, t_eff), each (Nz, Nf). g is the Dulk lnLambda (pair with
+    KAPPA_FF_COEF) or the classical/Born Gaunt factor (pair with
+    KAPPA_FF_EXACT_COEF) per the `gaunt` flag, matching freefree_kappa.
+    """
+    t = xp.asarray(t_grid)[:, None]            # (NT, 1)
+    nu2 = xp.asarray(nu)[None, :]              # (1, Nf)
+    if gaunt == "exact":
+        g = exact_gaunt(t, nu2, xp=xp)         # (NT, Nf)
+    else:
+        g = coulomb_log(t, nu2, xp=xp)
+    w = trapezoid_weights(xp.asarray(t_grid), xp=xp)[:, None]   # (NT, 1)
+    dem = xp.asarray(dem)                      # (NT, Nz)
+    a_k = (dem * (w * t ** -1.5)).T            # (Nz, NT)
+    a_j = (dem * (w * t ** -0.5)).T
+    m_k = a_k @ g                              # (Nz, Nf) MXU matmul
+    m_j = a_j @ g
+    t_eff = m_j / xp.maximum(m_k, 1e-300 if xp is _np else 1e-38)
+    return m_k, t_eff
+
+
 def exact_gaunt(te, nu, xp=jnp):
     """Frequency-averaged free-free Gaunt factor, max(classical, Born)
     (see the derivation block above KAPPA_FF_EXACT_COEF)."""
@@ -197,6 +246,25 @@ def exact_gaunt(te, nu, xp=jnp):
     g_cl = GAUNT_CL_CONST + 1.5 * ln_t - ln_nu
     g_born = GAUNT_BORN_CONST + ln_t - ln_nu
     return SQRT3_OVER_PI * xp.maximum(xp.maximum(g_cl, g_born), 0.0)
+
+
+def neutral_hydrogen_kappa(ne, te, b, nu, theta_rad, sigma, xp=jnp):
+    """Electron-neutral-hydrogen collisional opacity [cm^-1] alone
+    (mechanism flag 4; Saha neutral fraction). Split out of freefree_kappa
+    so per-voxel mechanism masks (the real GET_MW ABI lets Parms[6] vary
+    along the LOS) can gate it independently of the bremsstrahlung term."""
+    nu_p_sq = (FPE_COEF ** 2) * ne
+    nu_b = FB_COEF * b
+    X = nu_p_sq / (nu * nu)
+    Y = nu_b / nu
+    n2 = refractive_index_sq(X, Y, theta_rad, sigma, xp=xp)
+    n_sigma = xp.sqrt(xp.maximum(n2, 1e-12))
+    eff_nu = nu + sigma * nu_b * xp.abs(xp.cos(theta_rad))
+    eff_nu_sq = xp.maximum(eff_nu * eff_nu, 1e-30)
+    n_h = saha_neutral_hydrogen(ne, te, xp=xp)
+    v_mean = xp.sqrt(8.0 * KB_CGS * te / (_np.pi * M_E_G))
+    nu_en = n_h * SIGMA_EH_CM2 * v_mean
+    return nu_p_sq / eff_nu_sq * nu_en / (C_CGS * n_sigma)
 
 
 def freefree_kappa(ne, te, b, nu, theta_rad, sigma,
