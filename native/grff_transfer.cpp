@@ -58,12 +58,35 @@ double refr_index_sq(double X, double Y, double theta, double sigma) {
   return 1.0 - X * omx / denom;
 }
 
+// Exact magnetoionic polarization coupling F_sigma(theta) for thermal
+// gyroresonance: projection of the cold-plasma mode polarization (Stix
+// frame null vector) onto the electron-sense rotation about B. Twin of
+// physics.gyro_polarization_coupling (see its derivation docstring);
+// reduces to the QL (1 - sigma|cos|)^2/2 and captures the exact X/O
+// asymmetry toward theta = 90 deg (O-mode coupling -> 0 like cos^2).
+double gyro_coupling(double X, double Y, double theta, double sigma) {
+  const double n2 = refr_index_sq(X, Y, theta, sigma);
+  double omy2 = 1.0 - Y * Y;
+  if (std::fabs(omy2) < 1e-12) omy2 = omy2 >= 0.0 ? 1e-12 : -1e-12;
+  const double S = 1.0 - X / omy2;
+  const double D = -X * Y / omy2;
+  const double P = 1.0 - X;
+  const double st = std::sin(theta), ct = std::cos(theta);
+  const double a = n2 - S;
+  const double dl = P - n2 * st * st;
+  const double num = (a + D) * (a + D) * dl * dl;
+  double den = (a * a + D * D) * dl * dl + a * a * n2 * n2 * ct * ct * st * st;
+  if (den < 1e-38) den = 1e-38;
+  return num / den;
+}
+
 // Thermal gyroresonance opacity summed over harmonics s=2..s_max [cm^-1]
-// (mechanism flag 2, Parms[7] harmonic cap). Same quasi-longitudinal
-// Gaussian-layer form as raytracinggrff_tpu/grff/physics.py:
+// (mechanism flag 2, Parms[7] harmonic cap). Same Gaussian-layer form as
+// raytracinggrff_tpu/grff/physics.py:
 //   kappa_s = (pi^2/(2c)) (nu_p^2/nu) F_sigma(theta) s^2 (s^2 beta^2
 //             sin^2/2)^(s-1) / s!  *  s nu_B Gauss(nu - s nu_B)
-// with F_sigma = (1 - sigma |cos|)^2/2 and |cos theta| floored at 0.01.
+// with the exact F_sigma above; |cos theta| floored at 0.01 in the line
+// width only.
 double gyro_kappa(double nu_p_sq, double nu_b_in, double te, double nu,
                   double theta, double sigma, int s_max) {
   const double nu_b = nu_b_in > 1.0 ? nu_b_in : 1.0;
@@ -72,7 +95,8 @@ double gyro_kappa(double nu_p_sq, double nu_b_in, double te, double nu,
   const double st = std::sin(theta);
   double act = std::fabs(std::cos(theta));
   if (act < 0.01) act = 0.01;
-  const double f_sigma = (1.0 - sigma * act) * (1.0 - sigma * act) / 2.0;
+  const double f_sigma =
+      gyro_coupling(nu_p_sq / (nu * nu), nu_b / nu, theta, sigma);
   const double pref = (kPi * kPi / (2.0 * kCcgs)) * nu_p_sq / nu * f_sigma;
   double log_arg = beta2 * st * st / 2.0;
   log_arg = std::log(log_arg > 1e-38 ? log_arg : 1e-38);

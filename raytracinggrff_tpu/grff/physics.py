@@ -125,41 +125,90 @@ def saha_neutral_hydrogen(ne, te, xp=jnp):
     return ne * ne / xp.maximum(rhs, 1e-30)
 
 
+def gyro_polarization_coupling(X, Y, theta_rad, sigma, xp=jnp):
+    """Exact magnetoionic polarization coupling F_sigma(theta) for thermal
+    gyroresonance (Zheleznyakov 1970 / Zlotnik 1968 family), replacing the
+    quasi-longitudinal (1 - sigma|cos|)^2 / 2.
+
+    Derivation (cold-plasma Stix frame: B along z, k in the x-z plane at
+    angle theta): the s-th-harmonic resonant current couples, at leading
+    order in the thermal Larmor parameter, to the wave field component
+    rotating about B in the electron gyration sense, so
+
+        F_sigma = |e_x - i e_y|^2 / ||e||^2
+
+    with e the exact polarization (null vector of the cold wave operator)
+    of the Appleton-Hartree mode sigma. Using the Stix components
+    S = 1 - X/(1-Y^2), D = -XY/(1-Y^2), P = 1 - X and the null vector from
+    rows 2 x 3 of the operator,
+        e = ((S-n^2)(P-n^2 sin^2),  -iD (P-n^2 sin^2),
+             -(S-n^2) n^2 cos sin),
+    this closes to (A = n^2_sigma - S, d = P - n^2 sin^2 theta):
+
+        F_sigma = (A + D)^2 d^2
+                  / (A^2 d^2 + D^2 d^2 + A^2 n^4 cos^2 sin^2)
+
+    Limits (all verified by tests/test_gyroresonance.py against an
+    independent SVD null-space solve):
+      * QL regime (Y_L^2 >> Y_T^4/4, X << 1): modes are circular about
+        k-hat; projecting onto rotation about B gives exactly
+        (1 - sigma|cos theta|)^2 / 2 — the classical QL factor.
+      * theta -> 0: F_X -> 2 (sigma = -1 couples fully), F_O -> 0.
+      * theta -> 90 deg: the O mode becomes E || B (e -> z-hat) and its
+        coupling vanishes like cos^2 theta, while the X mode stays
+        elliptical in the transverse plane with F_X = (A+D)^2/(A^2+D^2)
+        ~ O(1) — the exact X/O asymmetry the QL form misses by orders of
+        magnitude.
+    Known caveat: inside the quasi-transverse mode-coupling sliver
+    |90 deg - theta| ~ sqrt(X) rad the 'O'-labelled branch exchanges
+    character with the plasma oscillation and this closed form
+    underestimates its coupling; geometric-optics mode labels are
+    themselves ambiguous there.
+    """
+    n2 = refractive_index_sq(X, Y, theta_rad, sigma, xp=xp)
+    one_m_y2 = 1.0 - Y * Y
+    safe = xp.where(xp.abs(one_m_y2) > 1e-12,
+                    one_m_y2, xp.where(one_m_y2 >= 0, 1e-12, -1e-12))
+    s_stix = 1.0 - X / safe
+    d_stix = -X * Y / safe
+    p_stix = 1.0 - X
+    st = xp.sin(theta_rad)
+    ct = xp.cos(theta_rad)
+    a = n2 - s_stix
+    d_l = p_stix - n2 * st * st
+    num = (a + d_stix) ** 2 * d_l * d_l
+    den = (a * a + d_stix * d_stix) * d_l * d_l \
+        + a * a * (n2 * n2) * (ct * st) ** 2
+    return num / xp.maximum(den, 1e-38)
+
+
 def gyroresonance_kappa(ne, te, b, nu, theta_rad, sigma, s_max=30, xp=jnp):
     """Thermal gyroresonance opacity summed over harmonics s=2..s_max
     [cm^-1] (mechanism flag 2; Parms[7] harmonic cap contract).
 
     Normalized so the layer-integrated depth reproduces the standard
-    thermal gyroresonance result (Dulk 1985 / White & Kundu 1997 form)
+    thermal gyroresonance result (Zheleznyakov 1970 / Dulk 1985 /
+    White & Kundu 1997 form)
         tau(s, sigma, theta) = (pi^2/(2c)) (nu_p^2/nu) L_B (s^2/s!)
                                (s^2 beta^2 sin^2/2)^(s-1) F_sigma(theta),
     i.e. per unit length
         kappa_s(nu) = tau(s)/L_B * s*nu_B
                       * Gauss(nu - s nu_B; sigma_nu = s nu_B beta |cos|)
-    with beta^2 = kT/(m c^2) and F_sigma = (1 - sigma |cos|)^2 / 2
-    (sigma = -1 is the more opaque X mode).
-    |cos theta| is floored at 0.01: the QL Gaussian profile degenerates at
-    exactly perpendicular propagation (the reference pipelines always pass
-    theta=90 with gyroresonance disabled, Parms[6]=1+4).
-
-    ACCURACY (honest statement, pinned by tests/test_gyroresonance.py):
-    the angular factor F_sigma = (1 - sigma |cos|)^2 / 2 is the
-    quasi-longitudinal approximation to the exact Zheleznyakov
-    magnetoionic polarization coupling. It is exact as theta -> 0,
-    reproduces the canonical published harmonic-visibility pattern at
-    mid angles (X-mode corona optically thick through s = 3, O-mode
-    through s = 2 at AR parameters nu = 5 GHz, n_e = 1e9, T = 3 MK,
-    L_B = 1e9 cm — White & Kundu 1997; test_harmonic_visibility_
-    pattern_anchor), and degrades toward theta -> 90 deg where the
-    exact X/O coupling asymmetry is NOT captured (QL gives both modes
-    F = 1/2 there; the exact factors differ by orders of magnitude).
-    Treat tau from this function as order-of-magnitude for
-    theta > ~70 deg. This is a documented fidelity gap vs the
-    Fleishman-Kuznetsov exact code inside the reference's closed
-    GRFF_DEM_Transfer.so binary — which every reference production
-    pipeline runs with gyroresonance DISABLED
-    (script/resample_with_ray_tracing.py:496, Parms[6] = 1 + 4), so
-    behavioral parity on all shipped workflows is unaffected.
+    with beta^2 = kT/(m c^2) and F_sigma the EXACT magnetoionic
+    polarization coupling (gyro_polarization_coupling: the projection of
+    the mode's cold-plasma polarization vector onto the electron-sense
+    rotation about B). sigma = -1 is the more opaque X mode. In the
+    quasi-longitudinal regime F reduces to the classical
+    (1 - sigma|cos|)^2 / 2; toward theta -> 90 deg it captures the exact
+    X/O asymmetry (O-mode coupling vanishes like cos^2 theta, X stays
+    O(1)) that the QL form misses by orders of magnitude
+    (tests/test_gyroresonance.py pins both regimes against an independent
+    SVD null-space polarization solve).
+    |cos theta| is floored at 0.01 in the LINE WIDTH only: the Doppler
+    Gaussian degenerates at exactly perpendicular propagation (the
+    physical line shape there is set by finite-Larmor effects outside
+    this model; the reference pipelines pass theta=90 with gyroresonance
+    disabled, Parms[6]=1+4).
 
     Harmonic terms are evaluated in log space ((s-1) log(...) - lgamma(s+1))
     so s! up to 30 stays inside float32 range.
@@ -172,7 +221,8 @@ def gyroresonance_kappa(ne, te, b, nu, theta_rad, sigma, s_max=30, xp=jnp):
     beta = xp.sqrt(beta2)
     st2 = xp.sin(theta_rad) ** 2
     act = xp.maximum(xp.abs(xp.cos(theta_rad)), 0.01)
-    f_sigma = (1.0 - sigma * act) ** 2 / 2.0
+    f_sigma = gyro_polarization_coupling(nu_p_sq / (nu * nu), nu_b / nu,
+                                         theta_rad, sigma, xp=xp)
 
     pref = (_np.pi ** 2 / (2.0 * C_CGS)) * nu_p_sq / nu * f_sigma
     log_arg = xp.log(xp.maximum(beta2 * st2 / 2.0, 1e-38))

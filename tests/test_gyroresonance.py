@@ -1,11 +1,103 @@
-"""Gyroresonance opacity (mechanism flag 2): resonance-layer behavior."""
+"""Gyroresonance opacity (mechanism flag 2): resonance-layer behavior and
+the exact magnetoionic polarization coupling."""
 
 import numpy as np
 
-from raytracinggrff_tpu.grff.physics import gyroresonance_kappa
+from raytracinggrff_tpu.grff.physics import (gyro_polarization_coupling,
+                                             gyroresonance_kappa,
+                                             refractive_index_sq)
 from raytracinggrff_tpu.grff.transfer import grff_transfer
 
 AREA = (0.045 * 6.957e10) ** 2
+
+
+def _svd_coupling(X, Y, theta, sigma):
+    """Independent oracle for F_sigma: build the cold-plasma wave operator
+    in the Stix frame (B || z, k in the x-z plane), extract the mode's
+    polarization as the SVD null vector, and project onto the
+    electron-sense rotation about B, |e_x - i e_y|^2 / ||e||^2. Shares no
+    algebra with the closed form in gyro_polarization_coupling beyond the
+    Appleton-Hartree n^2 root used to select the branch."""
+    n2 = refractive_index_sq(X, Y, theta, sigma, xp=np)
+    s = 1 - X / (1 - Y * Y)
+    d = -X * Y / (1 - Y * Y)
+    p = 1 - X
+    st, ct = np.sin(theta), np.cos(theta)
+    m = np.array([[s - n2 * ct * ct, -1j * d, n2 * ct * st],
+                  [1j * d, s - n2, 0.0],
+                  [n2 * ct * st, 0.0, p - n2 * st * st]])
+    _, _, vh = np.linalg.svd(m)
+    e = vh[-1].conj()
+    return float(abs(e[0] - 1j * e[1]) ** 2 / np.sum(abs(e) ** 2))
+
+
+def test_exact_coupling_matches_svd_nullspace():
+    """Closed-form F_sigma == SVD null-space projection at all angles,
+    including exactly perpendicular, for both modes and several (X, Y)."""
+    for X in (1e-3, 0.02, 0.1):
+        for Y in (0.5, 1 / 3, 0.2):
+            for deg in (0.5, 15, 45, 70, 80, 85, 89, 89.9, 90.0):
+                th = np.deg2rad(deg)
+                for sigma in (1.0, -1.0):
+                    got = float(gyro_polarization_coupling(
+                        X, Y, th, sigma, xp=np))
+                    ref = _svd_coupling(X, Y, th, sigma)
+                    assert abs(got - ref) <= 1e-6 + 1e-4 * abs(ref), (
+                        X, Y, deg, sigma, got, ref)
+
+
+def test_exact_coupling_limits_and_ql_regime():
+    X, Y = 0.02, 1 / 3
+    # theta -> 0: X couples fully (F -> 2), O not at all
+    assert abs(float(gyro_polarization_coupling(
+        X, Y, 1e-4, -1.0, xp=np)) - 2.0) < 1e-3
+    assert float(gyro_polarization_coupling(X, Y, 1e-4, 1.0, xp=np)) < 1e-6
+    # QL regime (theta <= 45 deg): matches (1 - sigma|cos|)^2/2 to a few %
+    for deg in (10, 25, 45):
+        th = np.deg2rad(deg)
+        for sigma in (1.0, -1.0):
+            exact = float(gyro_polarization_coupling(X, Y, th, sigma,
+                                                     xp=np))
+            ql = (1 - sigma * abs(np.cos(th))) ** 2 / 2
+            assert abs(exact - ql) < 0.04 + 0.03 * ql, (deg, sigma)
+    # even in cos(theta): rotation sense is about B, not k
+    # (the observed-handedness swap lives in the transfer layer)
+    f1 = float(gyro_polarization_coupling(X, Y, np.deg2rad(60), -1.0,
+                                          xp=np))
+    f2 = float(gyro_polarization_coupling(X, Y, np.deg2rad(120), -1.0,
+                                          xp=np))
+    assert abs(f1 - f2) < 1e-12
+
+
+def test_perpendicular_xo_asymmetry_anchor():
+    """The exact X/O opacity ratio at theta = 80-89 deg — the regime where
+    the QL factor is wrong by orders of magnitude (it tends to X/O -> 1 at
+    90 deg; the exact O coupling vanishes like cos^2 theta while X stays
+    O(1)). Ratios pinned from the closed form, cross-checked by the SVD
+    oracle above; gyroresonance_kappa must inherit them."""
+    b, ne, te = 100.0, 1e9, 2e6
+    nu = 3 * 2.7992e6 * b
+    X = (8.93e3) ** 2 * ne / nu ** 2
+    Y = 1 / 3
+    for deg, min_ratio in ((80, 10.0), (85, 30.0), (89, 500.0)):
+        th = np.deg2rad(deg)
+        fx = float(gyro_polarization_coupling(X, Y, th, -1.0, xp=np))
+        fo = float(gyro_polarization_coupling(X, Y, th, 1.0, xp=np))
+        assert 0.9 < fx < 1.2, (deg, fx)          # X stays O(1)
+        assert fx / fo > min_ratio, (deg, fx / fo)
+        ql_ratio = ((1 + abs(np.cos(th))) / (1 - abs(np.cos(th)))) ** 2
+        assert fx / fo > 5 * ql_ratio, (deg, fx / fo, ql_ratio)
+        # the full opacity inherits the exact ratio at the layer center
+        kx = float(gyroresonance_kappa(np.float64(ne), np.float64(te),
+                                       np.float64(b), nu, th, -1.0, xp=np))
+        ko = float(gyroresonance_kappa(np.float64(ne), np.float64(te),
+                                       np.float64(b), nu, th, 1.0, xp=np))
+        np.testing.assert_allclose(kx / ko, fx / fo, rtol=1e-6)
+    # O-mode coupling -> 0 like cos^2 theta at exactly perpendicular
+    assert float(gyro_polarization_coupling(X, Y, np.pi / 2, 1.0,
+                                            xp=np)) == 0.0
+    assert float(gyro_polarization_coupling(X, Y, np.pi / 2, -1.0,
+                                            xp=np)) > 0.5
 
 
 def test_resonance_layers():
@@ -50,12 +142,13 @@ def test_layer_depth_matches_closed_form():
 
         tau(s, sigma, theta) = (pi^2 / 2c) (nu_p^2 / nu) L_B (s^2 / s!)
                                (s^2 beta^2 sin^2(theta) / 2)^(s-1)
-                               F_sigma(theta),   F_sigma = (1-sigma|cos|)^2/2
+                               F_sigma(theta)
 
-    computed HERE from its own constants (an independent code path), and
-    the resulting X-mode tau(s=2, 3) must sit in the literature's
-    'strongly optically thick' regime for active-region parameters
-    (tau_2, tau_3 >> 1; White & Kundu 1997 quote tau ~ 1e2-1e6)."""
+    with the exact F_sigma obtained HERE from the independent SVD
+    null-space polarization solve (not the closed form the implementation
+    uses). The X-mode tau(s=2, 3) must sit in the literature's 'strongly
+    optically thick' regime for active-region parameters (tau >> 1;
+    White & Kundu 1997 quote tau ~ 1e2-1e6)."""
     from math import factorial
 
     c_cgs = 2.998e10
@@ -71,10 +164,11 @@ def test_layer_depth_matches_closed_form():
         kap = gyroresonance_kappa(np.float64(ne), np.float64(te), b_x, nu,
                                   theta, sigma, xp=np)
         tau_num = np.trapezoid(kap, xs)
-        # closed form, constants written out independently
+        # closed form, constants written out independently; F from the
+        # SVD oracle at the layer center (X, Y = 1/s)
         nu_p_sq = (8.93e3) ** 2 * ne
         beta2 = 1.38065e-16 * te / (9.1094e-28 * c_cgs ** 2)
-        f_sig = (1.0 - sigma * abs(np.cos(theta))) ** 2 / 2.0
+        f_sig = _svd_coupling(nu_p_sq / nu ** 2, 1.0 / s, theta, sigma)
         tau_ref = (np.pi ** 2 / (2 * c_cgs)) * (nu_p_sq / nu) * l_b \
             * (s ** 2 / factorial(s)) \
             * (s ** 2 * beta2 * np.sin(theta) ** 2 / 2.0) ** (s - 1) * f_sig
