@@ -60,11 +60,14 @@ def main():
     p.add_argument("--tracer", choices=["pallas", "xla"], default="pallas")
     p.add_argument("--rpt", type=int, default=128,
                    help="pallas rays per tile")
-    p.add_argument("--seg-records", type=int, default=16)
+    p.add_argument("--seg-records", type=int, default=64)
     p.add_argument("--tile-factor", type=int, default=4,
                    help="tile over-allocation for capacity binning")
     p.add_argument("--brick", default="32,16,32",
                    help="pallas brick nodes bx,by,bz")
+    p.add_argument("--ns-per-lane-step", type=float, default=10.5,
+                   help="measured per-lane-step kernel cost for the "
+                        "device-cycle model (scripts/microbench_kernel.py)")
     p.add_argument("--pipeline", action="store_true",
                    help="bench the FULL emission pipeline (trace + "
                         "streamed GRFF transfer) and report s/frequency "
@@ -74,11 +77,17 @@ def main():
     args = p.parse_args()
     brick = tuple(int(v) for v in args.brick.split(","))
     # Self-describing artifacts: non-canonical runs (512^2, XLA floor, ...)
-    # must carry their workload so BENCH_*.json files are comparable.
+    # must carry their workload — INCLUDING the pallas tuning parameters
+    # (brick/rpt/seg_records/tile_factor materially change the measured
+    # rate) — so BENCH_*.json files are actually comparable.
     workload = {"n_pix": args.n_pix, "n_steps": args.n_steps,
                 "grid_n": args.grid_n, "record_stride": args.record_stride,
                 "freq_hz": args.freq, "tracer": args.tracer,
                 "crosssections": not args.no_crosssections}
+    if args.tracer == "pallas":
+        workload.update(brick=list(brick), rpt=args.rpt,
+                        seg_records=args.seg_records,
+                        tile_factor=args.tile_factor)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -148,6 +157,7 @@ def main():
         }))
         return
 
+    last_stats = {}
     if args.tracer == "pallas":
         from raytracinggrff_tpu.tracer_pallas import (iter_tail_traces,
                                                       iter_trace_segments)
@@ -181,8 +191,10 @@ def main():
                  f"retried {stats.get('retried', 0)} "
                  f"tailed {stats.get('escaped', 0)} rays")
             ph = stats.get("phase_s", {})
-            note("  phases " + " ".join(f"{k}={v:.2f}s"
-                                        for k, v in ph.items()))
+            note("  host phases " + " ".join(f"{k}={v:.2f}s"
+                                             for k, v in ph.items())
+                 + "  (device_wait = host throttled on the bins-fit flag"
+                 " = hidden device time; enqueue = dispatch only)")
             occ = stats.get("occ")
             if occ:
                 note(f"  occ x{len(occ)}: "
@@ -190,6 +202,8 @@ def main():
             nt = stats.get("tiles")
             if nt:
                 note("  tiles: " + " ".join(str(v) for v in nt))
+            last_stats.clear()
+            last_stats.update(stats)
     else:
         from raytracinggrff_tpu.tracer import pack_trace_table, trace_rays
         table = pack_trace_table(jnp.asarray(omega_pe), grid)
@@ -222,7 +236,7 @@ def main():
     ray_steps = args.n_pix * args.n_pix * args.n_steps
     rate = ray_steps / median / n_chips
 
-    print(json.dumps({
+    out = {
         "metric": "ray-steps/sec/chip",
         "value": round(rate, 1),
         "unit": "ray-steps/s",
@@ -230,7 +244,44 @@ def main():
         "times_s": [round(t, 2) for t in times],
         "warmup_s": round(warmup_s, 1),
         "workload": workload,
-    }))
+    }
+    if last_stats:
+        # DEVICE-cycle accounting (vs the host phase timers on stderr,
+        # which only say where the host slept): occupied tiles run their
+        # full rpt lane width for every step of a segment, at the
+        # microbenched per-lane-step cost (scripts/microbench_kernel.py,
+        # slope method); retries re-run escaped rays one per tile. The
+        # residual vs the measured median is per-segment dispatch/XLA
+        # overhead (permute/park + retry-merge graphs + tunnel latency).
+        ns = args.ns_per_lane_step
+        seg_tiles = last_stats.get("seg_tiles", [])
+        seg_steps = last_stats.get("seg_steps", [])
+        lane_steps = sum(t * args.rpt * s
+                         for t, s in zip(seg_tiles, seg_steps))
+        mean_steps = (np.mean(seg_steps) if seg_steps else 0.0)
+        retry_lane_steps = int(last_stats.get("retried", 0) * args.rpt
+                               * mean_steps)
+        kernel_s = (lane_steps + retry_lane_steps) * ns * 1e-9
+        resid = median - kernel_s
+        n_seg = max(1, len(seg_steps))
+        out["device_model"] = {
+            "ns_per_lane_step": ns,
+            "occupied_lane_steps": int(lane_steps),
+            "retry_lane_steps": retry_lane_steps,
+            "kernel_s": round(kernel_s, 3),
+            "dispatch_overhead_s": round(resid, 3),
+            "dispatch_overhead_ms_per_segment": round(1e3 * resid / n_seg,
+                                                      1),
+            "n_segments": n_seg,
+            "occupancy_rebinds": last_stats.get("occ", []),
+            "tiles_rebinds": last_stats.get("tiles", []),
+            "retried_rays": int(last_stats.get("retried", 0)),
+            "tailed_rays": int(last_stats.get("escaped", 0)),
+        }
+        note(f"  device model: kernel {kernel_s:.2f}s of {median:.2f}s "
+             f"median ({100 * kernel_s / median:.0f}%), overhead "
+             f"{1e3 * resid / n_seg:.0f} ms/segment x {n_seg} segments")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

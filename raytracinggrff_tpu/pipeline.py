@@ -185,7 +185,7 @@ class RayEmissionConfig:
     s_mode: str = "cumulative"     # GPU-reference S semantics
     tracer_backend: str = "auto"   # 'auto' | 'pallas' | 'xla'
     rays_per_tile: int = 128       # pallas tile size (lane width)
-    seg_records: int = 25          # pallas records per kernel segment
+    seg_records: int = 64          # pallas records per kernel segment
     tile_factor: int = 4           # lo-tile over-allocation for binning
     pallas_interpret: bool = False  # interpreter-mode kernels (tests)
 

@@ -163,7 +163,8 @@ def _unpack_binning(packed, inv_prev):
 
 @functools.partial(jax.jit, static_argnames=("n_tl", "rpt_lo", "n_rays"))
 def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
-                    path_len, cap6, bounds2, n_tl, rpt_lo, n_rays):
+                    path_len, cap6, bounds2, act_floor, n_tl, rpt_lo,
+                    n_rays):
     """Permute rows to the new binning and shape the (n_tot, 8) state into
     the (n_tiles, 8, width) tile layout, pre-freezing parked rays (park
     mask completed ON DEVICE: host park | current tailed, gathered to slot
@@ -214,12 +215,31 @@ def _pre_kernel_dev(state, local, park_up, tailed, gperm, inv,
     # empty tiles give kmax-kmin = -inf <= cap (fits); NaN keys compare
     # False (forces a rebind) — both the safe direction
     fit = jnp.all(kmax - kmin <= 1.1 * cap6[None, :])
+    # Occupancy-decay trigger: rays that die (leave the cube) FREEZE in
+    # place, so they never widen a tile's key span and the span check
+    # alone would keep burning full tiles on dead lanes forever (measured:
+    # the canonical 256^2 bench ran 5000 steps at occupancy 1.0 / 512
+    # tiles with ~35% of rays long dead — rebinding compacts the survivors
+    # into ~2/3 the tiles and device time follows occupied tiles).
+    fit = fit & (jnp.sum(act) >= act_floor)
     # `act` rides back with key16 on rebind segments so the host bins with
     # the DEVICE's liveness (incl. fresh tails) — the host's own tailed
     # mirror is stale by design, and binning device-tailed rays as alive
     # polluted rebuilt leaves with frozen positions (measured: such leaves
     # caused immediate brick escapes, 280 retries/56 tails per 256^2 run)
     return state, klo, key16.astype(jnp.float16), park, fit, act
+
+
+@functools.partial(jax.jit, static_argnames=("rps",))
+def _dead_record_block(prev_recs, rps):
+    """Inert (rps, 8, n_tot) record block for segments after every ray has
+    left the cube (or tailed): the final record row repeated with S = 0 —
+    exactly what the kernel would emit for all-frozen rays, at the cost of
+    one cheap XLA op instead of the full per-segment dispatch chain."""
+    row = prev_recs[-1:]
+    row = jnp.concatenate(
+        [row[:, 0:3], jnp.zeros_like(row[:, 3:4]), row[:, 4:]], axis=1)
+    return jnp.broadcast_to(row, (rps,) + row.shape[1:])
 
 
 def _untile(kstate):
@@ -596,9 +616,9 @@ def iter_trace_segments(
     grid: UniformGrid, freq_hz,
     start, kdir, dt, n_steps, record_stride=10,
     trace_crosssections=True, perturb_ratio=2.0,
-    rpt=256, seg_records=25, interpret=False, verbose=False,
+    rpt=256, seg_records=64, interpret=False, verbose=False,
     stats=None, mesh=None, brick=(BX, BY, BZ), tile_factor=4,
-    bvec=None, bin_horizon=1.3,
+    bvec=None, bin_horizon=1.3, rebind_decay=0.7,
 ):
     """Generator yielding (rps, 8, n_tot) device records per segment, rows
     [x,y,z,S,ne,te,b,cos_theta], columns in ORIGINAL ray order (column i is ray
@@ -616,6 +636,16 @@ def iter_trace_segments(
     `bvec` (optional (bx, by, bz) image-frame Cartesian B cubes) makes the
     kernel record signed cos(theta) between B and the wave vector in record
     row 7 (theta_mode='los'; the 4-channel sample cube becomes 8-channel).
+
+    `seg_records` trades per-segment dispatch overhead (~0.08-0.18 s of
+    XLA glue + tunnel latency per segment, see bench.py's device_model)
+    against record-block VMEM and bin staleness; 64 measured 7.4e7 vs
+    5.6e7 ray-steps/s at 16 on the canonical bench (fit_brick shrinks the
+    brick if the record block would overflow scoped VMEM).
+    `rebind_decay`: force a rebind when the active-ray count falls below
+    this fraction of the count at the last binning — dead rays freeze in
+    place and never trip the span check, so without this the kernel keeps
+    paying for their tiles (see _pre_kernel_dev).
     """
     n_rays = start.shape[0]
     # rpt caps the max lo leaf size and sets the lo lane width; floor 128
@@ -796,15 +826,44 @@ def iter_trace_segments(
     # fetch on the steady-state critical path.
     def bin_rays(rows_h, act_h, path_len):
         """Capacity-aware binning on the 6-column original-order key.
-        Returns (gperm_new, park) — gperm_new[slot] = original id."""
+        Returns (gperm_new, park) — gperm_new[slot] = original id.
+
+        With a mesh, occupied tiles are round-robined across the shards'
+        contiguous slot ranges: capacity_bin_slots packs occupied tiles as
+        a leaf-major PREFIX (spatially clustered), so a limb-concentrated
+        ray distribution would otherwise land every occupied tile in one
+        shard and SPMD would wait on that straggler (all-parked tiles skip
+        their step loop, so shard device time ~ occupied tiles). Tiles are
+        independent — the permutation rides the same gperm upload for
+        free and balances occupied-tile counts to within one tile."""
         key, alive = bin_key(rows_h, act_h, path_len)
         alive_full = np.zeros(n_tot, bool)
         alive_full[:n_rays] = alive
-        return capacity_bin_slots(key, alive_full, rpt, n_tl, cap_lo6)
+        gperm, park = capacity_bin_slots(key, alive_full, rpt, n_tl,
+                                         cap_lo6)
+        if n_shards > 1:
+            per_shard = n_tl // n_shards
+            t = np.arange(n_tl)
+            new_pos = (t % n_shards) * per_shard + t // n_shards
+            slot_map = (new_pos[:, None] * rpt
+                        + np.arange(rpt)[None, :]).reshape(-1)
+            g2 = np.empty_like(gperm)
+            p2 = np.empty_like(park)
+            g2[slot_map] = gperm
+            p2[slot_map] = park
+            gperm, park = g2, p2
+        return gperm, park
     stats.setdefault("retried", 0)
+    # HOST-side phase timers. These say where the HOST spent its wall
+    # clock, not where device cycles went: "enqueue" is dispatch cost only
+    # (the kernels run async), and "device_wait" is the host blocked on the
+    # 1-byte bins-fit flag — i.e. hidden DEVICE execution time (the flag
+    # read throttles the host to ~one segment behind the device). Device
+    # cycles are accounted separately via seg_tiles/seg_steps (occupied
+    # lane-steps per segment; see bench.py's device_model).
     timers = stats.setdefault(
-        "phase_s", {"fit": 0.0, "fetch": 0.0, "bin": 0.0, "kernel": 0.0,
-                    "esc": 0.0})
+        "phase_s", {"device_wait": 0.0, "snapshot_fetch": 0.0,
+                    "bin_host": 0.0, "enqueue": 0.0, "tail_readback": 0.0})
     clock = _time.perf_counter
     cap6_dev = jnp.asarray(cap_lo6, jnp.float32)
     bounds2_dev = jnp.asarray(np.stack([bounds_lo, bounds_hi]), jnp.float32)
@@ -867,20 +926,53 @@ def iter_trace_segments(
         occ = float(act.sum()) / max(1, tiles * w)
         return tiles, round(occ, 4)
 
+    cur_tiles = n_tl
+    cur_shard_occ = np.full(n_shards, n_tl // n_shards, np.int64)
+    shard_lane_steps = np.zeros(n_shards, np.int64)
+    act_floor_dev = jnp.float32(0.0)
+    all_dead = False
+    last_recs = None
+    dead_recs = {}
     for seg_i, (first_block, rps) in enumerate(plan):
         binres = next_bin
         next_bin = None
         if binres is not None:
             gperm_new, park_slots = binres
-            t, o = occ_stats(slice(0, None), n_tl, rpt)
-            stats.setdefault("tiles", []).append(t)
+            occupied = n_tot - int(park_slots.sum())
+            # occupancy-decay rebind floor: occupied slots at this binding
+            act_floor_dev = jnp.float32(rebind_decay * occupied)
+            # Every ray is out of the cube or tailed (a frozen ray can
+            # never re-enter, so this is permanent): remaining segments
+            # would each cost three tunnel dispatches + a flag read to
+            # produce records that are just the final frozen row repeated
+            # with S = 0 (inert to every consumer). Fabricate them instead.
+            all_dead = occupied == 0 and last_recs is not None
+            cur_tiles, o = occ_stats(slice(0, None), n_tl, rpt)
+            stats.setdefault("tiles", []).append(cur_tiles)
             stats.setdefault("occ", []).append(o)
+            if n_shards > 1:
+                occ_t = ~park_slots.reshape(n_tl, rpt)
+                cur_shard_occ = occ_t.any(1).reshape(
+                    n_shards, n_tl // n_shards).sum(1)
             packed = gperm_new.astype(np.int32)
             packed[park_slots] |= np.int32(-0x80000000)
             gperm_dev, inv_dev, park_up, local_dev = _unpack_binning(
                 jnp.asarray(packed), inv_dev)
         else:
             local_dev = ident
+        # device-cycle ledger: occupied tiles run their full rpt lane width
+        # for every step of the segment (all-parked tiles skip the loop);
+        # per-shard totals expose SPMD load imbalance (straggler factor)
+        seg_steps_i = first_block + (rps - 1) * record_stride
+        stats.setdefault("seg_tiles", []).append(cur_tiles)
+        stats.setdefault("seg_steps", []).append(seg_steps_i)
+        shard_lane_steps += cur_shard_occ * (rpt * seg_steps_i)
+
+        if all_dead:
+            if rps not in dead_recs:
+                dead_recs[rps] = _dead_record_block(last_recs, rps)
+            yield dead_recs[rps]
+            continue
 
         t0 = clock()
         horiz = (horizon(*plan[seg_i + 1])
@@ -888,7 +980,7 @@ def iter_trace_segments(
         seg_start, klo, key16, park_dev, fit_dev, act_dev = \
             _pre_kernel_dev(
             state, local_dev, park_up, tailed_dev, gperm_dev, inv_dev,
-            jnp.float32(horiz), cap6_dev, bounds2_dev,
+            jnp.float32(horiz), cap6_dev, bounds2_dev, act_floor_dev,
             n_tl, rpt, n_rays)
         try:
             fit_dev.copy_to_host_async()
@@ -906,13 +998,14 @@ def iter_trace_segments(
             record_stride, first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret, brick_lo, occ_r=occ_r,
             nch_s=nch_s)
-        timers["kernel"] += clock() - t0
+        timers["enqueue"] += clock() - t0
+        last_recs = recs
         yield recs
 
         if seg_i + 1 < len(plan):
             t0 = clock()
             fit = bool(np.asarray(fit_dev))
-            timers["fit"] += clock() - t0
+            timers["device_wait"] += clock() - t0
             if not fit:
                 t0 = clock()
                 for arr in (key16, act_dev):
@@ -922,11 +1015,17 @@ def iter_trace_segments(
                         pass
                 key_host = np.asarray(key16, np.float32)
                 act_host = np.asarray(act_dev)
-                timers["fetch"] += clock() - t0
+                timers["snapshot_fetch"] += clock() - t0
                 t0 = clock()
                 next_bin = bin_rays(key_host, act_host,
                                     horizon(*plan[seg_i + 1]))
-                timers["bin"] += clock() - t0
+                timers["bin_host"] += clock() - t0
+
+    if n_shards > 1:
+        stats["shard_lane_steps"] = shard_lane_steps.tolist()
+        mean_ls = max(1.0, float(shard_lane_steps.mean()))
+        stats["straggler_factor"] = round(
+            float(shard_lane_steps.max()) / mean_ls, 4)
 
     # single read-back of the tail carries
     t0 = clock()
@@ -946,7 +1045,7 @@ def iter_trace_segments(
             print(f"[pallas-trace] {stats['escaped']} rays left for "
                   f"the one-shot XLA tail "
                   f"({stats['retried']} fast-path ray retries)")
-    timers["esc"] += clock() - t0
+    timers["tail_readback"] += clock() - t0
 
 
 def _pow2_at_least(n):
