@@ -64,11 +64,15 @@ def main():
     jax.config.update("jax_explain_cache_misses", True)
 
     cap = CompileLogCapture()
+    # handler on the "jax" parent ONLY: attaching to child loggers too
+    # double-counts every record (children propagate to the parent),
+    # which doubled total_compile_s in the first audit artifacts
     for name in ("jax._src.interpreters.pxla", "jax._src.compiler",
-                 "jax._src.dispatch", "jax"):
-        lg = logging.getLogger(name)
-        lg.setLevel(logging.DEBUG)
-        lg.addHandler(cap)
+                 "jax._src.dispatch"):
+        logging.getLogger(name).setLevel(logging.DEBUG)
+    root = logging.getLogger("jax")
+    root.setLevel(logging.DEBUG)
+    root.addHandler(cap)
 
     sys.path.insert(0, ".")
     from bench import make_cube, make_rays
@@ -81,15 +85,20 @@ def main():
     b = np.ones_like(ne)
     start, kdir = make_rays(args.n_pix)
 
+    import jax.numpy as jnp
+
+    @jax.jit
+    def accum(a, recs):        # one chained dispatch per segment (as bench.py)
+        return a + recs[-1, 0, 0]
+
     t0 = time.perf_counter()
     stats = {}
-    acc = None
+    acc = jnp.zeros((), jnp.float32)
     for recs in iter_trace_segments(
             omega_pe, ne, te, b, grid, 75e6, start, kdir, 6e-3,
             args.n_steps, 10, trace_crosssections=True, perturb_ratio=2.0,
             rpt=args.rpt, seg_records=args.seg_records, stats=stats):
-        s = recs[-1, 0, 0]
-        acc = s if acc is None else acc + s
+        acc = accum(acc, recs)
     float(acc)
     for _, _, recs_t in iter_tail_traces(stats, omega_pe, ne, te, b, grid,
                                          6e-3, 10, True, 2.0):
