@@ -65,9 +65,13 @@ def main():
                    help="tile over-allocation for capacity binning")
     p.add_argument("--brick", default="32,16,32",
                    help="pallas brick nodes bx,by,bz")
-    p.add_argument("--ns-per-lane-step", type=float, default=10.5,
+    p.add_argument("--ns-per-lane-step", type=float, default=21.8,
                    help="measured per-lane-step kernel cost for the "
-                        "device-cycle model (scripts/microbench_kernel.py)")
+                        "device-cycle model: the MOVING-ray slope of the "
+                        "canonical 128:32,16,32 config "
+                        "(scripts/microbench_kernel.py). Re-measure when "
+                        "changing --rpt/--brick — the cost scales with "
+                        "brick volume (fused (y,x) MXU contraction)")
     p.add_argument("--pipeline", action="store_true",
                    help="bench the FULL emission pipeline (trace + "
                         "streamed GRFF transfer) and report s/frequency "
@@ -162,6 +166,14 @@ def main():
         from raytracinggrff_tpu.tracer_pallas import (iter_tail_traces,
                                                       iter_trace_segments)
 
+        # Chained per-segment device reduction in ONE dispatch: an eager
+        # recs[-1,0,0] slice plus an eager add is TWO tunnel dispatches
+        # per segment (~0.1 s each of host time), enough to starve the
+        # device on the canonical 8-segment trace.
+        @jax.jit
+        def accum(a, recs):
+            return a + recs[-1, 0, 0]
+
         def run():
             # consume the streaming interface the way the pipeline does:
             # chain a tiny device-side reduction per segment (the transfer
@@ -170,7 +182,7 @@ def main():
             # unreliable on axon, so a host transfer of the scalar is used)
             stats = {}
             t0 = time.perf_counter()
-            acc = None
+            acc = jnp.zeros((), jnp.float32)
             for recs in iter_trace_segments(
                     omega_pe, ne, te, b, grid, args.freq, start, kdir,
                     6e-3, args.n_steps, args.record_stride,
@@ -178,8 +190,7 @@ def main():
                     perturb_ratio=2.0, rpt=args.rpt,
                     seg_records=args.seg_records, stats=stats,
                     brick=brick, tile_factor=args.tile_factor):
-                s = recs[-1, 0, 0]
-                acc = s if acc is None else acc + s
+                acc = accum(acc, recs)
             float(acc)
             t_seg = time.perf_counter() - t0
             for _, _, recs_t in iter_tail_traces(
@@ -250,9 +261,15 @@ def main():
         # which only say where the host slept): occupied tiles run their
         # full rpt lane width for every step of a segment, at the
         # microbenched per-lane-step cost (scripts/microbench_kernel.py,
-        # slope method); retries re-run escaped rays one per tile. The
-        # residual vs the measured median is per-segment dispatch/XLA
-        # overhead (permute/park + retry-merge graphs + tunnel latency).
+        # slope method, MOVING rays); retries re-run escaped rays one per
+        # tile. The residual vs the measured median is everything the
+        # lane-step ledger cannot see: per-segment XLA glue (permute/park,
+        # retry merge), tunnel dispatch latency the queue fails to hide,
+        # and any drift of the true per-lane cost from the microbenched
+        # slope. (Round 5 originally modeled 10.5 ns from a stationary
+        # small-brick config and misread the resulting 2.2 s residual as
+        # dispatch overhead; the canonical moving-ray slope is 21.8 ns and
+        # closes the ledger to within ~measurement noise.)
         ns = args.ns_per_lane_step
         seg_tiles = last_stats.get("seg_tiles", [])
         seg_steps = last_stats.get("seg_steps", [])
@@ -269,9 +286,8 @@ def main():
             "occupied_lane_steps": int(lane_steps),
             "retry_lane_steps": retry_lane_steps,
             "kernel_s": round(kernel_s, 3),
-            "dispatch_overhead_s": round(resid, 3),
-            "dispatch_overhead_ms_per_segment": round(1e3 * resid / n_seg,
-                                                      1),
+            "residual_s": round(resid, 3),
+            "residual_ms_per_segment": round(1e3 * resid / n_seg, 1),
             "n_segments": n_seg,
             "occupancy_rebinds": last_stats.get("occ", []),
             "tiles_rebinds": last_stats.get("tiles", []),
@@ -279,7 +295,7 @@ def main():
             "tailed_rays": int(last_stats.get("escaped", 0)),
         }
         note(f"  device model: kernel {kernel_s:.2f}s of {median:.2f}s "
-             f"median ({100 * kernel_s / median:.0f}%), overhead "
+             f"median ({100 * kernel_s / median:.0f}%), residual "
              f"{1e3 * resid / n_seg:.0f} ms/segment x {n_seg} segments")
     print(json.dumps(out))
 

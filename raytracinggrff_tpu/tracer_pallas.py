@@ -391,6 +391,38 @@ def _retry_graph(tcube, scube, seg_start, state_main, esc, raw_lo,
             has_esc)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "mesh", "gshape", "rpt_lo", "n_tl", "rps", "stride",
+    "first_block", "perturb_ratio", "trace_crosssections",
+    "interpret", "brick_lo", "occ_r", "nch_s"))
+def _segment_graph(tcube, scube, seg_start, klo, park_dev, tailed,
+                   tail_state, tail_seg, n_retried, seg_idx, gvec, inv,
+                   mesh, gshape, rpt_lo, n_tl, rps, stride, first_block,
+                   dt, perturb_ratio, trace_crosssections, interpret,
+                   brick_lo, occ_r=1, nch_s=4):
+    """Trace + device-resident retry as ONE dispatch.
+
+    Two reasons, in order of measured impact: (1) the segment's Mosaic
+    kernel compiles once per variant instead of twice — it used to appear
+    in both the _trace_graph and _retry_graph executables (8 s + 17 s
+    cold, scripts/compile_audit.py); (2) one fewer host dispatch per
+    segment. On the axon tunnel the dispatch saving measured ~nil (the
+    async queue already hid enqueue cost: bench 'enqueue' phase 0.01 s),
+    but it is free insurance for slower hosts. The canonical bench is
+    DEVICE-bound at ~21.8 ns/lane-step (the moving-ray microbench slope),
+    not dispatch-bound — a round-5 model error previously blamed
+    'dispatch overhead' for what is simply MXU time."""
+    state_main, esc, raw_lo = _trace_graph(
+        tcube, scube, klo, gvec, mesh, gshape, rpt_lo, rps, stride,
+        first_block, dt, perturb_ratio, trace_crosssections, interpret,
+        brick_lo, nch_s=nch_s)
+    return _retry_graph(
+        tcube, scube, seg_start, state_main, esc, raw_lo, inv, park_dev,
+        tailed, tail_state, tail_seg, n_retried, seg_idx, gvec, mesh,
+        gshape, rpt_lo, n_tl, rps, stride, first_block, dt, perturb_ratio,
+        trace_crosssections, interpret, brick_lo, occ_r=occ_r, nch_s=nch_s)
+
+
 class PallasTraceResult(NamedTuple):
     r_record: np.ndarray   # (n_records, n_rays, 3)
     s_record: np.ndarray   # (n_records, n_rays) cumulative S
@@ -577,17 +609,23 @@ def capacity_bin_slots(key, alive, rpt, n_tiles, capacity):
 
 def _segment_plan(n_steps, record_stride, seg_records):
     n_records = -(-n_steps // record_stride)
-    # chunk into seg_records-sized segments (+ a smaller last one): at most
-    # 3 distinct (first_block, rps) kernel variants get Mosaic-compiled
+    # Chunk into UNIFORM seg_records-sized segments: the final partial
+    # segment is padded up to the full record count (the driver slices the
+    # yielded block down to the real rows), so at most 2 distinct
+    # (first_block, rps) kernel variants get Mosaic-compiled — (1, seg)
+    # for segment 0 and (stride, seg) for the rest — instead of a third
+    # ~15-25 s trace+retry compile for every distinct remainder (the
+    # TbSpectra sweep lattice hits several). The padded steps run past
+    # n_steps on rays nobody reads; on the canonical bench the tail
+    # segments are all-dead and fabricated anyway.
     seg = min(seg_records, n_records)
     plan = []
     rec_left = n_records
     first = True
     while rec_left > 0:
-        rps = min(seg, rec_left)
-        plan.append((1 if first else record_stride, rps))
+        plan.append((1 if first else record_stride, seg))
         first = False
-        rec_left -= rps
+        rec_left -= seg
     return plan, n_records
 
 
@@ -909,12 +947,14 @@ def iter_trace_segments(
     # that actually rebind. With `mesh`, the same programs run
     # shard_mapped/GSPMD-partitioned over the 'rays' axis.
     # ----------------------------------------------------------------------
-    ident = jnp.arange(n_tot, dtype=jnp.int32)
+    # host-built constants device_put as transfers: jnp.arange/zeros/full
+    # here would each mint a tiny eager XLA program (~0.5 s cold apiece)
+    ident = jnp.asarray(np.arange(n_tot, dtype=np.int32))
     gperm_dev = ident
     inv_dev = ident
-    tailed_dev = jnp.zeros(n_tot, bool)
-    tail_state = jnp.zeros((n_tot, 8), jnp.float32)
-    tail_seg = jnp.full(n_tot, -1, jnp.int32)
+    tailed_dev = jnp.asarray(np.zeros(n_tot, bool))
+    tail_state = jnp.asarray(np.zeros((n_tot, 8), np.float32))
+    tail_seg = jnp.asarray(np.full(n_tot, -1, np.int32))
     n_retried = jnp.int32(0)
     rec_bases = np.concatenate(
         [[0], np.cumsum([r for _, r in plan])[:-1]])
@@ -968,10 +1008,16 @@ def iter_trace_segments(
         stats.setdefault("seg_steps", []).append(seg_steps_i)
         shard_lane_steps += cur_shard_occ * (rpt * seg_steps_i)
 
+        # the plan's final segment is padded to the uniform rps; only
+        # n_real of its record rows are real — slice on yield (one eager
+        # device slice on the last segment, vs a third Mosaic variant)
+        n_real = min(rps, n_records - int(rec_bases[seg_i]))
+
         if all_dead:
             if rps not in dead_recs:
                 dead_recs[rps] = _dead_record_block(last_recs, rps)
-            yield dead_recs[rps]
+            yield (dead_recs[rps] if n_real == rps
+                   else dead_recs[rps][:n_real])
             continue
 
         t0 = clock()
@@ -986,21 +1032,17 @@ def iter_trace_segments(
             fit_dev.copy_to_host_async()
         except AttributeError:
             pass
-        state_main, esc_dev, raw_lo = _trace_graph(
-            tcube, scube, klo, gvec_dev, mesh, grid.shape, rpt, rps,
-            record_stride, first_block, float(dt), float(perturb_ratio),
-            trace_crosssections, interpret, brick_lo, nch_s=nch_s)
         (state, recs, tailed_dev, tail_state, tail_seg, n_retried,
-         _) = _retry_graph(
-            tcube, scube, seg_start, state_main, esc_dev, raw_lo,
-            inv_dev, park_dev, tailed_dev, tail_state, tail_seg,
-            n_retried, seg_i, gvec_dev, mesh, grid.shape, rpt, n_tl, rps,
+         _) = _segment_graph(
+            tcube, scube, seg_start, klo, park_dev, tailed_dev,
+            tail_state, tail_seg, n_retried, seg_i, gvec_dev, inv_dev,
+            mesh, grid.shape, rpt, n_tl, rps,
             record_stride, first_block, float(dt), float(perturb_ratio),
             trace_crosssections, interpret, brick_lo, occ_r=occ_r,
             nch_s=nch_s)
         timers["enqueue"] += clock() - t0
         last_recs = recs
-        yield recs
+        yield recs if n_real == rps else recs[:n_real]
 
         if seg_i + 1 < len(plan):
             t0 = clock()
@@ -1013,7 +1055,10 @@ def iter_trace_segments(
                         arr.copy_to_host_async()
                     except AttributeError:
                         pass
-                key_host = np.asarray(key16, np.float32)
+                # fetch the raw f16 and widen on the host: np.asarray with
+                # a dtype would enqueue an eager device convert (a fresh
+                # ~0.5 s XLA compile cold + a 2x bigger tunnel transfer)
+                key_host = np.asarray(key16).astype(np.float32)
                 act_host = np.asarray(act_dev)
                 timers["snapshot_fetch"] += clock() - t0
                 t0 = clock()

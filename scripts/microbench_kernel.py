@@ -8,9 +8,15 @@ axon tunnel's ~0.1 s per-launch round-trip latency (which swamped naive
 per-launch timing: a 0.1 s wall on a 20k-tile-step launch reads as a
 phantom 5 us/tile-step fixed cost).
 
-Rays are stationary (k=0) at one in-cube spot per tile, so after the
-initial brick DMA the loop is pure compute: the number reported is the
-per-lane-step floor with cross-section tracking on.
+Default rays MOVE at the physical speed (|k| = omega at 75 MHz), so the
+slope includes the brick-reload DMA + window-rebuild cost the production
+trace pays; --stationary freezes them (k=0) for the pure-compute floor.
+The two differ by ~15% at the canonical config (21.8 vs 18.5 ns) — the
+round-4/5 "10.5 ns roofline" was a stationary slope of a SMALLER brick
+config, and comparing it against the canonical (32,16,32)-brick run
+manufactured a phantom "40% unaccounted overhead" (the canonical kernel
+simply costs ~21 ns/lane-step: the fused (y,x) MXU contraction scales
+with brick volume, ~75 f32 TFLOP/s sustained — near the v5e f32 peak).
 
 Usage: python scripts/microbench_kernel.py [--configs "128:16,8,16 ..."]
 """
@@ -34,9 +40,12 @@ def main():
     p.add_argument("--repeat", type=int, default=5)
     p.add_argument(
         "--configs",
-        default="128:16,8,16 256:32,16,16 256:48,16,16 512:32,16,16 "
-                "512:48,16,32 512:32,8,16 256:32,8,16",
-        help="space-separated rpt:bx,by,bz entries")
+        default="128:32,16,32 128:16,8,16 256:32,16,16 512:32,16,16 "
+                "512:32,8,16 256:32,8,16",
+        help="space-separated rpt:bx,by,bz entries (canonical first)")
+    p.add_argument("--stationary", action="store_true",
+                   help="freeze rays (k=0): pure-compute floor without "
+                        "brick-reload traffic")
     args = p.parse_args()
 
     import jax
@@ -68,7 +77,14 @@ def main():
         centers = rng.uniform(-2.0, 2.0, (args.n_tiles, 3)).astype(np.float32)
         state = np.zeros((args.n_tiles, 8, rpt), np.float32)
         for i in range(3):
-            state[:, i, :] = centers[:, i:i + 1]
+            state[:, i, :] = centers[:, i:i + 1] + rng.uniform(
+                -0.01, 0.01, (args.n_tiles, rpt)).astype(np.float32)
+        if not args.stationary:
+            kdir = rng.normal(size=(args.n_tiles, 3)).astype(np.float32)
+            kdir /= np.linalg.norm(kdir, axis=1, keepdims=True)
+            omega = np.float32(2 * np.pi * 75e6)   # |k| ~ omega: vacuum speed
+            for i in range(3):
+                state[:, 3 + i, :] = kdir[:, i:i + 1] * omega
         state[:, 6, :] = 1.0
         state_j = jnp.asarray(state)
 
